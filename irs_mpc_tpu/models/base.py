@@ -1,0 +1,81 @@
+"""Dynamical-system abstraction for the TPU-native iRS-MPC framework.
+
+The reference (``/root/reference/irs_lqr/dynamical_system.py:12-66``) defines a
+virtual class with four methods (``dynamics``, ``dynamics_batch``,
+``jacobian_xu``, ``jacobian_xu_batch``) that every backend re-implements by
+hand (numpy loops, Drake symbolic Jacobians, torch, C++ sims).
+
+Here a system is a single pure JAX step function; batching and Jacobians are
+*derived* via ``jax.vmap`` / ``jax.jacfwd``, so every system is automatically
+batched, differentiable, shardable, and jittable.  This collapses the
+reference's L1 layer plus its per-system symbolic/AutoDiff machinery
+(e.g. ``examples/pendulum/pendulum_dynamics.py:20-26,110-117``) into ~50 lines.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+StepFn = Callable[[Array, Array], Array]
+# Sample-projection operator: (x, dx, u, du) -> (x_proj, u_proj), used by
+# systems with hard state constraints (reference:
+# examples/three_cart/three_cart_dynamics.py:196-264).
+ProjectionFn = Callable[[Array, Array, Array, Array], tuple[Array, Array]]
+
+
+@dataclasses.dataclass(frozen=True)
+class System:
+    """A discrete-time dynamical system ``x_{t+1} = step(x_t, u_t)``.
+
+    Mirrors the capability surface of the reference ``DynamicalSystem``
+    (``irs_lqr/dynamical_system.py``): timestep ``h``, dims, dynamics, batched
+    dynamics and fat Jacobian ``[df/dx | df/du]`` — but all derived from the
+    single pure ``step``.
+    """
+
+    name: str
+    dim_x: int
+    dim_u: int
+    h: float
+    step: StepFn
+    # Optional projection of samples onto a constraint manifold.
+    projection: Optional[ProjectionFn] = None
+
+    # ---- derived operators (all jit/vmap/shard compatible) -------------
+
+    def step_batch(self, x: Array, u: Array) -> Array:
+        """Batched dynamics: (B,n),(B,m) -> (B,n)."""
+        return jax.vmap(self.step)(x, u)
+
+    def jacobian_xu(self, x: Array, u: Array) -> Array:
+        """Fat Jacobian ``[df/dx | df/du]`` of shape (n, n+m)."""
+        jx, ju = jax.jacfwd(self.step, argnums=(0, 1))(x, u)
+        return jnp.concatenate([jx, ju], axis=1)
+
+    def jacobian_xu_batch(self, x: Array, u: Array) -> Array:
+        """Batched fat Jacobian: (B,n),(B,m) -> (B,n,n+m)."""
+        return jax.vmap(self.jacobian_xu)(x, u)
+
+    def rollout(self, x0: Array, u_trj: Array) -> Array:
+        """Open-loop rollout; returns the (T+1, n) state trajectory.
+
+        Replaces the reference's python rollout loop
+        (``irs_lqr/irs_lqr.py:105-119``) with a ``lax.scan``.
+        """
+
+        def body(x, u):
+            x_next = self.step(x, u)
+            return x_next, x_next
+
+        _, xs = jax.lax.scan(body, x0, u_trj)
+        return jnp.concatenate([x0[None], xs], axis=0)
+
+    def __hash__(self):  # static closure key for jit caching
+        return hash((self.name, self.dim_x, self.dim_u, self.h, id(self.step)))
+
+    def __eq__(self, other):
+        return self is other

@@ -1,0 +1,217 @@
+"""Smoothed time-varying linearization estimators, TPU-native.
+
+The reference implements these twice — per-knot python loops inside optimizer
+subclasses (``irs_lqr/irs_lqr_{exact,first_order,zero_order}.py``) and as
+methods of the simulator-backed dynamics (``quasistatic_dynamics.py:190-300``),
+farmed out over ZMQ worker processes.  Here each estimator is a single pure
+function vmapped over (knots x samples): one jitted sweep computes every
+``A_t, B_t, c_t`` in one device program.  Least-squares fits go through
+normal-equation moments so that a multi-device sample shard reduces with one
+``psum`` of small (p x p) / (p x n) matrices per knot (see parallel/).
+
+Modes (names match the reference ``gradient_mode`` strings,
+``quasistatic_dynamics.py:210-240``):
+  * "exact"          — A,B from the exact Jacobian.
+  * "first_order"    — average of Jacobians at perturbed points.
+  * "zero_order"     — generic: sample (dx,du), fit [A|B] jointly
+                       (``irs_lqr_zero_order.py:27-63``).
+  * "zero_order_B"   — sample du only; B from lstsq, A from exact Jacobian
+                       (``quasistatic_dynamics.py:242-266``).
+  * "zero_order_AB"  — sample (dx,du), damped lstsq for both
+                       (``quasistatic_dynamics.py:268-300``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.base import System
+
+Array = jax.Array
+
+GRADIENT_MODES = ("exact", "first_order", "zero_order", "zero_order_B",
+                  "zero_order_AB")
+
+
+class TvLinearization(NamedTuple):
+    """Time-varying affine model x_{t+1} ≈ A_t x_t + B_t u_t + c_t."""
+    A: Array  # (T, n, n)
+    B: Array  # (T, n, m)
+    c: Array  # (T, n)
+
+
+@dataclasses.dataclass(frozen=True)
+class SmoothingConfig:
+    """Monte-Carlo smoothing configuration.
+
+    ``std_x``/``std_u`` are base standard deviations; ``decay(iter)`` returns a
+    multiplicative scale (the reference's variance-decay schedules, e.g.
+    ``1/iter**0.5`` in ``pendulum_zero_order.py:38-43`` and
+    ``1/iter**0.8`` in ``run_planar_hand.py:142-143``).
+    """
+    num_samples: int = 100
+    std_x: float | Array = 1e-3
+    std_u: float | Array = 0.1
+    decay: Callable[[Array], Array] = lambda it: 1.0 / jnp.sqrt(it)
+    damp: float = 1e-2          # Tikhonov damping for zero_order_AB
+    decay_std_x: bool = True    # whether decay applies to std_x as well
+
+    def stds(self, it: Array, dim_x: int, dim_u: int):
+        scale = self.decay(jnp.asarray(it, jnp.float32))
+        sx = jnp.broadcast_to(jnp.asarray(self.std_x, jnp.float32), (dim_x,))
+        su = jnp.broadcast_to(jnp.asarray(self.std_u, jnp.float32), (dim_u,))
+        sx = sx * (scale if self.decay_std_x else 1.0)
+        return sx, su * scale
+
+    def __hash__(self):
+        return hash((self.num_samples, id(self.decay), self.damp,
+                     self.decay_std_x))
+
+    def __eq__(self, other):
+        return self is other
+
+
+def _sample_perturbations(key, std_x, std_u, num_samples):
+    kx, ku = jax.random.split(key)
+    dx = std_x * jax.random.normal(kx, (num_samples, std_x.shape[0]))
+    du = std_u * jax.random.normal(ku, (num_samples, std_u.shape[0]))
+    return dx, du
+
+
+def _fit_lstsq(S: Array, D: Array, damp: float = 0.0) -> Array:
+    """Least squares fit D ≈ S @ Theta via normal equations.
+
+    S: (B, p) regressors, D: (B, n) targets; returns Theta' of shape (n, p)
+    (i.e. the [A|B] layout).  Damping adds damp^2 * I to the Gram matrix —
+    equivalent to the reference's stacked Tikhonov rows ``damp * I``
+    (``quasistatic_dynamics.py:292-296``).
+
+    Using moments G = S'S, M = S'D keeps the cross-device reduction a psum of
+    (p,p)+(p,n) tensors per knot.
+    """
+    p = S.shape[1]
+    G = S.T @ S + (damp * damp) * jnp.eye(p, dtype=S.dtype)
+    M = S.T @ D
+    # Tiny ridge for rank-deficient unregularized fits (lstsq fallback).
+    eps = 1e-9 * jnp.trace(G) / p + 1e-12
+    theta = jnp.linalg.solve(G + eps * jnp.eye(p, dtype=S.dtype), M)
+    return theta.T
+
+
+def fit_from_moments(G: Array, M: Array, damp: float = 0.0) -> Array:
+    """Solve the normal equations from pre-reduced moments (psum-friendly)."""
+    p = G.shape[0]
+    Gd = G + (damp * damp) * jnp.eye(p, dtype=G.dtype)
+    eps = 1e-9 * jnp.trace(Gd) / p + 1e-12
+    return jnp.linalg.solve(Gd + eps * jnp.eye(p, dtype=G.dtype), M).T
+
+
+# ---------------------------------------------------------------------------
+# Per-knot estimators (vmapped over the time axis by estimate_tv_matrices)
+# ---------------------------------------------------------------------------
+
+def _knot_exact(system: System, x, u, key, sx, su, cfg):
+    AB = system.jacobian_xu(x, u)
+    return AB
+
+
+def _knot_first_order(system: System, x, u, key, sx, su, cfg):
+    dx, du = _sample_perturbations(key, sx, su, cfg.num_samples)
+    if system.projection is not None:
+        xp, up = system.projection(x, dx, u, du)
+    else:
+        xp, up = x[None] + dx, u[None] + du
+    AB = system.jacobian_xu_batch(xp, up)
+    return jnp.mean(AB, axis=0)
+
+
+def _knot_zero_order(system: System, x, u, key, sx, su, cfg):
+    """Generic zero-order: joint [A|B] fit from (dx, du) rollout deltas."""
+    dx, du = _sample_perturbations(key, sx, su, cfg.num_samples)
+    if system.projection is not None:
+        xp, up = system.projection(x, dx, u, du)
+        dx, du = xp - x[None], up - u[None]
+    else:
+        xp, up = x[None] + dx, u[None] + du
+    f0 = system.step(x, u)
+    fd = system.step_batch(xp, up)
+    S = jnp.concatenate([dx, du], axis=1)
+    return _fit_lstsq(S, fd - f0[None])
+
+
+def _knot_zero_order_B(system: System, x, u, key, sx, su, cfg):
+    """B from input-only sampling; A from the exact Jacobian."""
+    _, du = _sample_perturbations(key, sx, su, cfg.num_samples)
+    f0 = system.step(x, u)
+    fd = system.step_batch(jnp.broadcast_to(x, (cfg.num_samples,) + x.shape),
+                           u[None] + du)
+    B_hat = _fit_lstsq(du, fd - f0[None])
+    A_exact = system.jacobian_xu(x, u)[:, :x.shape[0]]
+    return jnp.concatenate([A_exact, B_hat], axis=1)
+
+
+def _knot_zero_order_AB(system: System, x, u, key, sx, su, cfg):
+    """Joint damped [A|B] fit (std_x fixed small, not decayed by default)."""
+    dx, du = _sample_perturbations(key, sx, su, cfg.num_samples)
+    f0 = system.step(x, u)
+    fd = system.step_batch(x[None] + dx, u[None] + du)
+    S = jnp.concatenate([dx, du], axis=1)
+    return _fit_lstsq(S, fd - f0[None], damp=cfg.damp)
+
+
+_KNOT_FNS = {
+    "exact": _knot_exact,
+    "first_order": _knot_first_order,
+    "zero_order": _knot_zero_order,
+    "zero_order_B": _knot_zero_order_B,
+    "zero_order_AB": _knot_zero_order_AB,
+}
+
+
+def estimate_tv_matrices(
+        system: System,
+        mode: str,
+        x_trj: Array,          # (T+1, n) nominal states
+        u_trj: Array,          # (T, m) nominal inputs
+        key: Array,
+        it: Array,             # iteration count (drives variance decay)
+        cfg: SmoothingConfig) -> TvLinearization:
+    """Estimate (A_t, B_t, c_t) for every knot in one vmapped sweep."""
+    if mode not in _KNOT_FNS:
+        raise ValueError(
+            f"gradient mode {mode!r} not in {list(_KNOT_FNS)}")
+    T = u_trj.shape[0]
+    n = system.dim_x
+    sx, su = cfg.stds(it, system.dim_x, system.dim_u)
+    keys = jax.random.split(key, T)
+    knot_fn = _KNOT_FNS[mode]
+
+    def per_knot(x, u, k):
+        return knot_fn(system, x, u, k, sx, su, cfg)
+
+    AB = jax.vmap(per_knot)(x_trj[:-1], u_trj, keys)
+    A, B = AB[:, :, :n], AB[:, :, n:]
+    f_nom = system.step_batch(x_trj[:-1], u_trj)
+    c = f_nom - jnp.einsum("tij,tj->ti", A, x_trj[:-1]) \
+        - jnp.einsum("tij,tj->ti", B, u_trj)
+    return TvLinearization(A=A, B=B, c=c)
+
+
+def decouple_AB(tv: TvLinearization, indices_u_into_x: Array,
+                x_trj: Array, u_trj: Array,
+                system: System) -> TvLinearization:
+    """Reference's ``decouple_AB_matrices`` (irs_lqr_quasistatic.py:275-284):
+    overwrite A_t with I minus the actuated columns, and pin the actuated rows
+    of B_t to the identity; c is re-derived for consistency."""
+    T, n, m = tv.B.shape
+    A = jnp.broadcast_to(jnp.eye(n, dtype=tv.A.dtype), (T, n, n))
+    A = A.at[:, :, indices_u_into_x].set(0.0)
+    B = tv.B.at[:, indices_u_into_x, :].set(
+        jnp.broadcast_to(jnp.eye(m, dtype=tv.B.dtype), (T, m, m)))
+    f_nom = system.step_batch(x_trj[:-1], u_trj)
+    c = f_nom - jnp.einsum("tij,tj->ti", A, x_trj[:-1]) \
+        - jnp.einsum("tij,tj->ti", B, u_trj)
+    return TvLinearization(A=A, B=B, c=c)

@@ -1,0 +1,289 @@
+"""iRS-MPC driver: iterative randomized-smoothing LQR, one jitted step/iter.
+
+Re-expresses the reference's solver family —
+``IrsLqr``/``IrsLqrExact``/``IrsLqrFirstOrder``/``IrsLqrZeroOrder``
+(``/root/reference/irs_lqr/irs_lqr*.py``) and the quasistatic/MBP variants
+(``irs_lqr_quasistatic.py``, ``irs_lqr_mbp*.py``) — as a single driver whose
+per-iteration work is ONE compiled XLA program:
+
+    sample -> rollout -> moment-reduce -> fit (A,B,c) -> Riccati -> forward.
+
+Key semantic note on the forward pass: the reference re-solves the QP over the
+shrinking horizon [t, T] at every t and keeps only u*[0]
+(``irs_lqr.py:148-186``) — O(T^2) QP solves.  For the *unconstrained* problem
+this is mathematically identical to ONE full-horizon Riccati backward pass
+followed by an affine-feedback rollout of the true dynamics (Bellman: the tail
+problem from t is independent of the past), which is what ``feedback`` mode
+does in O(T).  With box bounds, ``feedback`` clips inputs during the rollout
+(projected feedback); the exact constrained per-knot resolve is available via
+the boxed-QP backend (ops/admm.py) in ``resolve`` mode.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import System
+from ..ops import lqr as lqr_ops
+from ..ops.estimators import (SmoothingConfig, TvLinearization, decouple_AB,
+                              estimate_tv_matrices)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class IrsMpcParams:
+    """Optimal-control problem + algorithm configuration.
+
+    Mirrors ``IrsLqrParameters`` (``irs_lqr.py:7-31``) and
+    ``IrsLqrQuasistaticParameters`` (``irs_lqr_quasistatic.py:12-41``).
+    Bounds are (2, dim) arrays [lb; ub]; ``None`` disables them.
+    """
+    Q: np.ndarray | Array = None
+    Qd: np.ndarray | Array = None
+    R: np.ndarray | Array = None
+    x0: np.ndarray | Array = None
+    xd_trj: np.ndarray | Array = None
+    u_trj_init: np.ndarray | Array = None
+
+    # Bounds (reference: 4 kinds, irs_lqr_quasistatic.py:23-28).
+    x_bounds_abs: Optional[np.ndarray] = None
+    u_bounds_abs: Optional[np.ndarray] = None
+    x_bounds_rel: Optional[np.ndarray] = None
+    u_bounds_rel: Optional[np.ndarray] = None
+    # Quasistatic solvers recentre abs bounds on the nominal trajectory each
+    # iteration — a trust region (irs_lqr_quasistatic.py:302-323).
+    bounds_trust_region: bool = False
+
+    # Position-controlled (Δu-cost) mode: indices of actuated DOFs in x
+    # (tv_lqr.py:98-110).  None => plain u'Ru cost.
+    indices_u_into_x: Optional[np.ndarray] = None
+
+    # Smoothing / estimation.
+    gradient_mode: str = "zero_order"
+    smoothing: SmoothingConfig = dataclasses.field(default_factory=SmoothingConfig)
+    decouple_AB: bool = False
+
+    # Solve configuration.
+    forward_mode: str = "feedback"       # "feedback" | "resolve"
+    parallel_riccati: bool = False       # associative-scan backward pass
+    admm_iters: int = 60                 # boxed-QP iterations (resolve mode)
+    admm_rho: float = 1.0
+    seed: int = 0
+    # The reference's evaluate_cost uses Q (not Qd) on the final state — a
+    # quirk (irs_lqr.py:134-136).  Keep True to match its CSV baselines.
+    report_final_cost_with_Q: bool = True
+
+
+@dataclasses.dataclass
+class IterationStats:
+    cost: float
+    cost_x: float
+    cost_x_final: float
+    cost_u: float
+    wall_time: float
+
+
+class IrsMpc:
+    """Public solver API, mirroring the reference's uniform surface:
+    construct with (system, params), then ``iterate(n) -> (x_trj, u_trj,
+    cost)``, with history in ``x_trj_lst``/``u_trj_lst``/``cost_lst`` and
+    best-so-far tracking (``irs_lqr_quasistatic.py:91-109``)."""
+
+    def __init__(self, system: System, params: IrsMpcParams):
+        self.system = system
+        self.params = params
+        self._validate()
+
+        p = params
+        f32 = lambda a: None if a is None else jnp.asarray(a, jnp.float32)
+        self.Q, self.Qd, self.R = f32(p.Q), f32(p.Qd), f32(p.R)
+        self.x0 = f32(p.x0)
+        self.xd_trj = f32(p.xd_trj)
+        self.u_trj = f32(p.u_trj_init)
+        self.T = int(self.u_trj.shape[0])
+        self.idx_u = (None if p.indices_u_into_x is None
+                      else jnp.asarray(p.indices_u_into_x, jnp.int32))
+
+        self.key = jax.random.PRNGKey(p.seed)
+        self.x_trj = system.rollout(self.x0, self.u_trj)
+        self.cost = float(self.eval_cost(self.x_trj, self.u_trj)[0])
+
+        self.x_trj_lst = [np.asarray(self.x_trj)]
+        self.u_trj_lst = [np.asarray(self.u_trj)]
+        self.cost_lst = [self.cost]
+        self.stats_lst: list[IterationStats] = []
+        self.x_trj_best = np.asarray(self.x_trj)
+        self.u_trj_best = np.asarray(self.u_trj)
+        self.cost_best = self.cost
+        self.iter = 1
+        self.start_time = time.time()
+
+        self._iteration_jit = jax.jit(self._iteration)
+
+    # ------------------------------------------------------------------
+    def _validate(self):
+        s, p = self.system, self.params
+        if s.dim_x == 0 or s.dim_u == 0:
+            raise RuntimeError("System has zero states or inputs.")
+        if np.shape(p.Q) != (s.dim_x, s.dim_x):
+            raise RuntimeError("Q must be dim_x x dim_x.")
+        if np.shape(p.Qd) != (s.dim_x, s.dim_x):
+            raise RuntimeError("Qd must be dim_x x dim_x.")
+        if np.shape(p.R) != (s.dim_u, s.dim_u):
+            raise RuntimeError("R must be dim_u x dim_u.")
+
+    # ------------------------------------------------------------------
+    def eval_cost(self, x_trj: Array, u_trj: Array):
+        """Returns (total, cost_x, cost_x_final, cost_u).
+
+        Running: (x-xd)'Q(x-xd) + u-cost; final: (x-xd)'Qf(x-xd) where Qf is
+        Q when ``report_final_cost_with_Q`` (reference quirk) else Qd.
+        In Δu mode the u-cost is du'R du with du_0 = u_0 - x_0[idx]
+        (irs_lqr_quasistatic.py:185-191)."""
+        ex = x_trj[:-1] - self.xd_trj[:-1]
+        cost_x = jnp.einsum("ti,ij,tj->", ex, self.Q, ex)
+        ef = x_trj[-1] - self.xd_trj[-1]
+        Qf = self.Q if self.params.report_final_cost_with_Q else self.Qd
+        cost_xf = ef @ Qf @ ef
+        if self.idx_u is None:
+            cost_u = jnp.einsum("ti,ij,tj->", u_trj, self.R, u_trj)
+        else:
+            u_prev = jnp.concatenate(
+                [x_trj[0, self.idx_u][None], u_trj[:-1]], axis=0)
+            du = u_trj - u_prev
+            cost_u = jnp.einsum("ti,ij,tj->", du, self.R, du)
+        return cost_x + cost_xf + cost_u, cost_x, cost_xf, cost_u
+
+    # ------------------------------------------------------------------
+    def _build_problem(self, tv: TvLinearization, x_trj):
+        p = self.params
+        if self.idx_u is None:
+            return lqr_ops.build_tracking_problem(
+                tv.A, tv.B, tv.c, self.Q, self.Qd, self.R,
+                x_trj[0], self.xd_trj)
+        return lqr_ops.build_delta_u_problem(
+            tv.A, tv.B, tv.c, self.Q, self.Qd, self.R,
+            x_trj[0], self.xd_trj, self.idx_u)
+
+    def _u_bounds_for_rollout(self, x_trj):
+        """Per-knot (lb, ub) input bounds for the projected-feedback rollout,
+        combining abs (possibly trust-region-recentred,
+        irs_lqr_quasistatic.py:302-323) and rel bounds."""
+        p = self.params
+        T, m = self.T, self.system.dim_u
+        lb = jnp.full((T, m), -jnp.inf)
+        ub = jnp.full((T, m), jnp.inf)
+        if p.u_bounds_abs is not None:
+            b = jnp.asarray(p.u_bounds_abs, jnp.float32)
+            if p.bounds_trust_region:
+                centre = x_trj[:-1, self.idx_u] if self.idx_u is not None \
+                    else jnp.zeros((T, m))
+                lb = jnp.maximum(lb, centre + b[0])
+                ub = jnp.minimum(ub, centre + b[1])
+            else:
+                lb = jnp.maximum(lb, b[0][None])
+                ub = jnp.minimum(ub, b[1][None])
+        return lb, ub
+
+    def _iteration(self, x_trj, u_trj, key, it):
+        """One smoothing + descent iteration (fully jitted).
+
+        Wrapped in ``default_matmul_precision('highest')``: the Riccati and
+        least-squares matrices are tiny but ill-conditioned, and the TPU MXU's
+        default bf16 accumulation visibly degrades convergence (observed:
+        pendulum 349.5 -> 420.9 without this).  The Monte-Carlo rollout bulk
+        is elementwise VPU work, so full-precision matmuls cost ~nothing.
+        """
+        with jax.default_matmul_precision("highest"):
+            return self._iteration_impl(x_trj, u_trj, key, it)
+
+    def _iteration_impl(self, x_trj, u_trj, key, it):
+        p = self.params
+        sys = self.system
+        key, k_est = jax.random.split(key)
+
+        tv = estimate_tv_matrices(sys, p.gradient_mode, x_trj, u_trj,
+                                  k_est, it, p.smoothing)
+        if p.decouple_AB:
+            tv = decouple_AB(tv, self.idx_u, x_trj, u_trj, sys)
+
+        prob = self._build_problem(tv, x_trj)
+        gains = (lqr_ops.riccati_backward_assoc(prob) if p.parallel_riccati
+                 else lqr_ops.riccati_backward(prob))
+
+        # Forward pass: true nonlinear dynamics under the affine feedback law
+        # (== the reference's per-knot QP re-solve in the unconstrained case).
+        n = sys.dim_x
+        lb, ub = self._u_bounds_for_rollout(x_trj)
+        has_rel = p.u_bounds_rel is not None
+        rel = (jnp.asarray(p.u_bounds_rel, jnp.float32)
+               if has_rel else None)
+
+        def fwd_step(carry, inp):
+            x, u_prev = carry
+            K, k, lb_t, ub_t = inp
+            z = x if self.idx_u is None else jnp.concatenate([x, u_prev])
+            u = -(K @ z + k)
+            if has_rel:
+                u = jnp.clip(u, u_prev + rel[0], u_prev + rel[1])
+            u = jnp.clip(u, lb_t, ub_t)
+            x_next = sys.step(x, u)
+            return (x_next, u), (x_next, u)
+
+        u_prev0 = (x_trj[0, self.idx_u] if self.idx_u is not None
+                   else jnp.zeros((sys.dim_u,), jnp.float32))
+        _, (xs, us) = jax.lax.scan(
+            fwd_step, (x_trj[0], u_prev0), (gains.K, gains.k, lb, ub))
+        x_new = jnp.concatenate([x_trj[0][None], xs], axis=0)
+
+        total, cx, cxf, cu = self.eval_cost(x_new, us)
+        return x_new, us, key, (total, cx, cxf, cu)
+
+    # ------------------------------------------------------------------
+    def local_descent(self, x_trj, u_trj):
+        x_new, u_new, self.key, _ = self._iteration_jit(
+            x_trj, u_trj, self.key, jnp.asarray(self.iter, jnp.float32))
+        return x_new, u_new
+
+    def iterate(self, max_iterations: int, verbose: bool = True):
+        """Run ``max_iterations`` descent iterations.
+
+        NOTE: the reference loops ``max_iterations + 1`` times due to a
+        post-append check (``irs_lqr.py:196-216``) — documented quirk we fix;
+        this runs exactly ``max_iterations`` descents."""
+        for _ in range(max_iterations):
+            t0 = time.time()
+            x_new, u_new, self.key, (total, cx, cxf, cu) = self._iteration_jit(
+                self.x_trj, self.u_trj, self.key,
+                jnp.asarray(self.iter, jnp.float32))
+            total = float(total)
+            wall = time.time() - t0
+            if verbose:
+                print(f"Iteration: {self.iter:02d} || Current Cost: "
+                      f"{total:.6f} || Elapsed time: "
+                      f"{time.time() - self.start_time:.5f}")
+
+            self.x_trj_lst.append(np.asarray(x_new))
+            self.u_trj_lst.append(np.asarray(u_new))
+            self.cost_lst.append(total)
+            self.stats_lst.append(IterationStats(
+                cost=total, cost_x=float(cx), cost_x_final=float(cxf),
+                cost_u=float(cu), wall_time=wall))
+
+            if total < self.cost_best:
+                self.cost_best = total
+                self.x_trj_best = np.asarray(x_new)
+                self.u_trj_best = np.asarray(u_new)
+
+            self.cost = total
+            self.x_trj = x_new
+            self.u_trj = u_new
+            self.iter += 1
+
+        return self.x_trj, self.u_trj, self.cost
