@@ -1,0 +1,184 @@
+"""Constrained TV-LQR: on-device boxed QP via ADMM with Riccati inner solves.
+
+Replaces the reference's Drake MathematicalProgram + OSQP/Gurobi QP
+(``/root/reference/irs_lqr/tv_lqr.py:30-145``) — including all four bound
+kinds (absolute/relative on state and input, ``tv_lqr.py:113-124``) and the
+Δu-cost position-controlled mode (``tv_lqr.py:98-110``) — with a fixed-
+iteration ADMM scheme whose x-update is an equality-constrained QP solved
+exactly by the Riccati scan (ops/lqr.py).  Everything is jit/vmap-compatible:
+no data-dependent control flow, fixed iteration count.
+
+Splitting: let ξ = (x_{0:T}, u_{0:T-1}) constrained to the dynamics manifold.
+The box-constrained quantities are stage-affine functions of ξ *on that
+manifold*:
+    s_x  = x_t,                 s_u  = u_t,
+    s_dx = x_{t+1} - x_t = (A_t - I) x_t + B_t u_t + c_t,
+    s_du = u_t - w_t            (w = prev-input component of the augmented
+                                 state, see lqr.build_delta_u_problem).
+ADMM alternates: (1) ξ-update = Riccati solve of the stage cost + ρ-penalties
+pulling each s toward (z - y); (2) z = clip(s + y, lb, ub); (3) y += s - z.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import lqr as lqr_ops
+
+Array = jax.Array
+
+
+class BoxBounds(NamedTuple):
+    """Per-stage box bounds; any member may be None (disabled at trace time).
+
+    Shapes: x (2, T+1, n) — lb/ub on states incl. final;
+            u (2, T, m); dx (2, T, n); du (2, T, m).
+    """
+    x: Optional[Array] = None
+    u: Optional[Array] = None
+    dx: Optional[Array] = None
+    du: Optional[Array] = None
+
+
+class AdmmSolution(NamedTuple):
+    x_trj: Array          # (T+1, n) — augmented state if Δu mode
+    u_trj: Array          # (T, m)
+    gains: lqr_ops.LqrGains
+    r_primal: Array       # final primal residual (inf-norm)
+    r_dual: Array         # final dual residual  (inf-norm)
+
+
+def _penalized_problem(prob: lqr_ops.LqrProblem, bounds: BoxBounds,
+                       z, y, rho: float, n_phys: int,
+                       idx_w: Optional[Array]):
+    """Add the ADMM quadratic penalties to the stage cost matrices.
+
+    ``n_phys`` is the physical state dim (penalties on x/dx act on the first
+    n_phys components of a possibly-augmented state); ``idx_w`` gives the
+    augmented prev-input block for the du penalty (None if du disabled).
+    """
+    T, n, m = prob.B.shape
+    Q, R, N = prob.Q, prob.R, prob.N
+    q, r = prob.q, prob.r
+    Qf, qf = prob.Qf, prob.qf
+    eyen = jnp.eye(n, dtype=prob.A.dtype)
+
+    if bounds.x is not None:
+        vx = z.x - y.x                      # (T+1, n_phys)
+        sel = eyen[:n_phys]                 # (n_phys, n)
+        Q = Q + rho * (sel.T @ sel)[None]
+        q = q.at[:, :n_phys].add(-rho * vx[:-1])
+        Qf = Qf + rho * (sel.T @ sel)
+        qf = qf.at[:n_phys].add(-rho * vx[-1])
+
+    if bounds.u is not None:
+        vu = z.u - y.u
+        R = R + rho * jnp.eye(m, dtype=R.dtype)[None]
+        r = r - rho * vu
+
+    if bounds.dx is not None:
+        vdx = z.dx - y.dx                   # (T, n_phys)
+        D = prob.A[:, :n_phys, :] - eyen[None, :n_phys, :]  # (T, n_phys, n)
+        Bp = prob.B[:, :n_phys, :]                          # (T, n_phys, m)
+        cp = prob.c[:, :n_phys]
+        e = cp - vdx
+        Q = Q + rho * jnp.swapaxes(D, 1, 2) @ D
+        R = R + rho * jnp.swapaxes(Bp, 1, 2) @ Bp
+        N = N + rho * jnp.swapaxes(D, 1, 2) @ Bp
+        q = q + rho * jnp.einsum("tij,ti->tj", D, e)
+        r = r + rho * jnp.einsum("tij,ti->tj", Bp, e)
+
+    if bounds.du is not None:
+        # s_du = u - w where w = x[idx_w] (augmented prev-input block).
+        vdu = z.du - y.du                   # (T, m)
+        W = jnp.zeros((m, n), dtype=prob.A.dtype)
+        W = W.at[jnp.arange(m), idx_w].set(1.0)   # w = W x
+        # rho * || u - W x - v ||^2
+        Q = Q + rho * (W.T @ W)[None]
+        R = R + rho * jnp.eye(m, dtype=R.dtype)[None]
+        N = N - rho * jnp.broadcast_to(W.T, (T, n, m))
+        q = q + rho * jnp.einsum("ij,tj->ti", W.T, vdu)
+        r = r - rho * vdu
+
+    return prob._replace(Q=Q, R=R, N=N, q=q, r=r, Qf=Qf, qf=qf)
+
+
+class _SVals(NamedTuple):
+    x: Array
+    u: Array
+    dx: Array
+    du: Array
+
+
+def _stage_values(prob, x_trj, u_trj, n_phys, idx_w) -> _SVals:
+    xs = x_trj[:, :n_phys]
+    dx = xs[1:] - xs[:-1]
+    if idx_w is not None:
+        du = u_trj - x_trj[:-1][:, idx_w]
+    else:
+        du = jnp.zeros_like(u_trj)
+    return _SVals(x=xs, u=u_trj, dx=dx, du=du)
+
+
+def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
+                      bounds: BoxBounds,
+                      n_phys: int,
+                      idx_w: Optional[Array] = None,
+                      rho: float = 1.0,
+                      iters: int = 60) -> AdmmSolution:
+    """Solve the boxed TV-LQR QP.  ``prob`` may be Δu-augmented (then
+    ``idx_w`` points at the prev-input block and ``n_phys`` < n).
+
+    Fixed ``iters`` ADMM sweeps; each sweep is one Riccati backward pass +
+    linear rollout.  Returns the solution with final residuals so callers can
+    monitor convergence without breaking jit.
+    """
+    T, n, m = prob.B.shape
+    f32 = prob.A.dtype
+
+    def clip_or(s, b, default):
+        return s if b is None else jnp.clip(s, b[0], b[1])
+
+    def zeros_like_svals():
+        return _SVals(x=jnp.zeros((T + 1, n_phys), f32),
+                      u=jnp.zeros((T, m), f32),
+                      dx=jnp.zeros((T, n_phys), f32),
+                      du=jnp.zeros((T, m), f32))
+
+    # Initialize z at the unconstrained solution projected onto the boxes.
+    x0_trj, u0_trj, gains0 = lqr_ops.lqr_solve(prob)
+    s0 = _stage_values(prob, x0_trj, u0_trj, n_phys, idx_w)
+    z0 = _SVals(
+        x=clip_or(s0.x, bounds.x, s0.x),
+        u=clip_or(s0.u, bounds.u, s0.u),
+        dx=clip_or(s0.dx, bounds.dx, s0.dx),
+        du=clip_or(s0.du, bounds.du, s0.du))
+    y0 = zeros_like_svals()
+
+    def sweep(carry, _):
+        z, y, _, _ = carry
+        pen = _penalized_problem(prob, bounds, z, y, rho, n_phys, idx_w)
+        x_trj, u_trj, gains = lqr_ops.lqr_solve(pen)
+        s = _stage_values(prob, x_trj, u_trj, n_phys, idx_w)
+        sy = jax.tree.map(lambda a, b: a + b, s, y)
+        z_new = _SVals(
+            x=clip_or(sy.x, bounds.x, s.x),
+            u=clip_or(sy.u, bounds.u, s.u),
+            dx=clip_or(sy.dx, bounds.dx, s.dx),
+            du=clip_or(sy.du, bounds.du, s.du))
+        y_new = jax.tree.map(lambda yy, ss, zz: yy + ss - zz, y, s, z_new)
+        return (z_new, y_new, (x_trj, u_trj, gains), z), None
+
+    init_sol = (x0_trj, u0_trj, gains0)
+    (z, y, (x_trj, u_trj, gains), z_prev), _ = jax.lax.scan(
+        sweep, (z0, y0, init_sol, z0), None, length=iters)
+
+    s = _stage_values(prob, x_trj, u_trj, n_phys, idx_w)
+    r_primal = jnp.max(jnp.stack([
+        jnp.max(jnp.abs(a - b)) for a, b in zip(s, z)]))
+    r_dual = jnp.max(jnp.stack([
+        rho * jnp.max(jnp.abs(a - b)) for a, b in zip(z, z_prev)]))
+    return AdmmSolution(x_trj=x_trj, u_trj=u_trj, gains=gains,
+                        r_primal=r_primal, r_dual=r_dual)

@@ -110,18 +110,24 @@ class _AssocElem(NamedTuple):
 
 
 def _assoc_combine(e1: _AssocElem, e2: _AssocElem) -> _AssocElem:
-    """Associative combination rule (batched over leading dims)."""
+    """Associative combination rule (batched over leading dims).
+
+    Vectors are lifted to (..., n, 1) columns so every product is a clean
+    batched matmul.
+    """
     n = e1.F.shape[-1]
-    I = jnp.eye(n, dtype=e1.F.dtype)
-    # (I + C1 J2)^{-1}
-    M = jnp.linalg.solve(I + e1.C @ e2.J, jnp.eye(n, dtype=e1.F.dtype))
-    Mt = jnp.linalg.solve(I + e2.J @ e1.C, jnp.eye(n, dtype=e1.F.dtype))
-    F = e2.F @ M @ e1.F
-    b = e2.F @ M @ (e1.b[..., None] + e1.C @ e2.eta[..., None])[..., 0] + e2.b
-    C = e2.F @ M @ e1.C @ jnp.swapaxes(e2.F, -1, -2) + e2.C
-    eta = jnp.swapaxes(e1.F, -1, -2) @ Mt @ (
-        e2.eta[..., None] - e2.J @ e1.b[..., None])[..., 0] + e1.eta
-    J = jnp.swapaxes(e1.F, -1, -2) @ Mt @ e2.J @ e1.F + e1.J
+    I = jnp.broadcast_to(jnp.eye(n, dtype=e1.F.dtype), e1.F.shape)
+    M = jnp.linalg.solve(I + e1.C @ e2.J, I)      # (I + C1 J2)^{-1}
+    Mt = jnp.linalg.solve(I + e2.J @ e1.C, I)     # (I + J2 C1)^{-1}
+    F2M = e2.F @ M
+    F1t = jnp.swapaxes(e1.F, -1, -2)
+    b1 = e1.b[..., None]
+    eta2 = e2.eta[..., None]
+    F = F2M @ e1.F
+    b = (F2M @ (b1 + e1.C @ eta2))[..., 0] + e2.b
+    C = F2M @ e1.C @ jnp.swapaxes(e2.F, -1, -2) + e2.C
+    eta = (F1t @ Mt @ (eta2 - e2.J @ b1))[..., 0] + e1.eta
+    J = F1t @ Mt @ e2.J @ e1.F + e1.J
     return _AssocElem(F, b, C, eta, J)
 
 
@@ -165,7 +171,11 @@ def riccati_backward_assoc(prob: LqrProblem) -> LqrGains:
     )
     all_elems = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
                              elems, final)
-    combined = jax.lax.associative_scan(_assoc_combine, all_elems, reverse=True)
+    # associative_scan(reverse=True) flips, prefix-scans, flips back: the
+    # combine receives (suffix-composite-of-later, earlier) — swap into our
+    # (earlier, later) convention.
+    combined = jax.lax.associative_scan(
+        lambda a, b: _assoc_combine(b, a), all_elems, reverse=True)
     # combined[t] composes stages t..T: V_t(x) = x'J x - 2 eta'x + const.
     P = combined.J
     p = -combined.eta

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import System
+from ..ops import admm as admm_ops
 from ..ops import lqr as lqr_ops
 from ..ops.estimators import (SmoothingConfig, TvLinearization, decouple_AB,
                               estimate_tv_matrices)
@@ -71,6 +72,9 @@ class IrsMpcParams:
 
     # Solve configuration.
     forward_mode: str = "feedback"       # "feedback" | "resolve"
+    # Forward-pass line search step sizes (alpha=0 keeps the nominal
+    # trajectory, so the accepted iterate never regresses).
+    line_search_alphas: tuple = (1.0, 0.6, 0.3, 0.1, 0.03, 0.0)
     parallel_riccati: bool = False       # associative-scan backward pass
     admm_iters: int = 60                 # boxed-QP iterations (resolve mode)
     admm_rho: float = 1.0
@@ -203,6 +207,49 @@ class IrsMpc:
         with jax.default_matmul_precision("highest"):
             return self._iteration_impl(x_trj, u_trj, key, it)
 
+    def _has_bounds(self):
+        p = self.params
+        return any(b is not None for b in (p.x_bounds_abs, p.u_bounds_abs,
+                                           p.x_bounds_rel, p.u_bounds_rel))
+
+    def _box_bounds(self, x_trj):
+        """Assemble per-knot BoxBounds, with the quasistatic solvers'
+        trust-region recentring on the nominal trajectory
+        (irs_lqr_quasistatic.py:302-323) when enabled."""
+        p = self.params
+        T, n, m = self.T, self.system.dim_x, self.system.dim_u
+        f32 = jnp.float32
+
+        def bx():
+            if p.x_bounds_abs is None:
+                return None
+            b = jnp.asarray(p.x_bounds_abs, f32)
+            if p.bounds_trust_region:
+                return jnp.stack([x_trj + b[0], x_trj + b[1]])
+            return jnp.stack([jnp.broadcast_to(b[0], (T + 1, n)),
+                              jnp.broadcast_to(b[1], (T + 1, n))])
+
+        def bu():
+            if p.u_bounds_abs is None:
+                return None
+            b = jnp.asarray(p.u_bounds_abs, f32)
+            if p.bounds_trust_region and self.idx_u is not None:
+                centre = x_trj[:-1, self.idx_u]
+                return jnp.stack([centre + b[0], centre + b[1]])
+            return jnp.stack([jnp.broadcast_to(b[0], (T, m)),
+                              jnp.broadcast_to(b[1], (T, m))])
+
+        def brel(b_arr, dim):
+            if b_arr is None:
+                return None
+            b = jnp.asarray(b_arr, f32)
+            return jnp.stack([jnp.broadcast_to(b[0], (T, dim)),
+                              jnp.broadcast_to(b[1], (T, dim))])
+
+        return admm_ops.BoxBounds(
+            x=bx(), u=bu(), dx=brel(p.x_bounds_rel, n),
+            du=brel(p.u_bounds_rel, m) if self.idx_u is not None else None)
+
     def _iteration_impl(self, x_trj, u_trj, key, it):
         p = self.params
         sys = self.system
@@ -214,36 +261,71 @@ class IrsMpc:
             tv = decouple_AB(tv, self.idx_u, x_trj, u_trj, sys)
 
         prob = self._build_problem(tv, x_trj)
-        gains = (lqr_ops.riccati_backward_assoc(prob) if p.parallel_riccati
-                 else lqr_ops.riccati_backward(prob))
+        n, m = sys.dim_x, sys.dim_u
+        n_aug = prob.A.shape[1]
 
-        # Forward pass: true nonlinear dynamics under the affine feedback law
-        # (== the reference's per-knot QP re-solve in the unconstrained case).
-        n = sys.dim_x
+        if self._has_bounds():
+            idx_w = (jnp.arange(n, n + m) if self.idx_u is not None else None)
+            sol = admm_ops.solve_boxed_tvlqr(
+                prob, self._box_bounds(x_trj), n_phys=n, idx_w=idx_w,
+                rho=p.admm_rho, iters=p.admm_iters)
+            gains, z_plan, u_plan = sol.gains, sol.x_trj, sol.u_trj
+        else:
+            gains = (lqr_ops.riccati_backward_assoc(prob) if p.parallel_riccati
+                     else lqr_ops.riccati_backward(prob))
+            z_plan, u_plan = lqr_ops.lqr_rollout_linear(prob, gains)
+
+        # Forward pass: roll the TRUE nonlinear dynamics under affine feedback
+        # around the planned trajectory,
+        #     u_t = u*_t - K_t (z_t - z*_t),
+        # clipped to the input bounds.  At full step this is exactly
+        # u = -(K z + k), which equals the reference's per-knot
+        # shrinking-horizon QP chain (Bellman).  A vmapped line search over
+        # step sizes alpha blends plan toward nominal — alpha=0 reproduces
+        # the nominal trajectory exactly, so the accepted cost never
+        # increases (the reference has no such safeguard and its exact mode
+        # can blow up outside the QP's feasible region).
         lb, ub = self._u_bounds_for_rollout(x_trj)
         has_rel = p.u_bounds_rel is not None
-        rel = (jnp.asarray(p.u_bounds_rel, jnp.float32)
-               if has_rel else None)
-
-        def fwd_step(carry, inp):
-            x, u_prev = carry
-            K, k, lb_t, ub_t = inp
-            z = x if self.idx_u is None else jnp.concatenate([x, u_prev])
-            u = -(K @ z + k)
-            if has_rel:
-                u = jnp.clip(u, u_prev + rel[0], u_prev + rel[1])
-            u = jnp.clip(u, lb_t, ub_t)
-            x_next = sys.step(x, u)
-            return (x_next, u), (x_next, u)
-
+        rel = (jnp.asarray(p.u_bounds_rel, jnp.float32) if has_rel else None)
         u_prev0 = (x_trj[0, self.idx_u] if self.idx_u is not None
-                   else jnp.zeros((sys.dim_u,), jnp.float32))
-        _, (xs, us) = jax.lax.scan(
-            fwd_step, (x_trj[0], u_prev0), (gains.K, gains.k, lb, ub))
-        x_new = jnp.concatenate([x_trj[0][None], xs], axis=0)
+                   else jnp.zeros((m,), jnp.float32))
+        if self.idx_u is not None:
+            w_nom = jnp.concatenate([u_prev0[None], u_trj[:-1]], axis=0)
+            z_nom = jnp.concatenate([x_trj[:-1], w_nom], axis=1)
+        else:
+            z_nom = x_trj[:-1]
 
-        total, cx, cxf, cu = self.eval_cost(x_new, us)
-        return x_new, us, key, (total, cx, cxf, cu)
+        def rollout(alpha):
+            z_ref = z_nom + alpha * (z_plan[:-1] - z_nom)
+            u_ref = u_trj + alpha * (u_plan - u_trj)
+
+            def fwd_step(carry, inp):
+                x, u_prev = carry
+                K, z_r, u_r, lb_t, ub_t = inp
+                z = (x if self.idx_u is None
+                     else jnp.concatenate([x, u_prev]))
+                u = u_r - K @ (z - z_r)
+                if has_rel:
+                    u = jnp.clip(u, u_prev + rel[0], u_prev + rel[1])
+                u = jnp.clip(u, lb_t, ub_t)
+                x_next = sys.step(x, u)
+                return (x_next, u), (x_next, u)
+
+            _, (xs, us) = jax.lax.scan(
+                fwd_step, (x_trj[0], u_prev0),
+                (gains.K, z_ref, u_ref, lb, ub))
+            x_new = jnp.concatenate([x_trj[0][None], xs], axis=0)
+            total, cx, cxf, cu = self.eval_cost(x_new, us)
+            return x_new, us, jnp.stack([total, cx, cxf, cu])
+
+        alphas = jnp.asarray(p.line_search_alphas, jnp.float32)
+        xs_all, us_all, costs_all = jax.vmap(rollout)(alphas)
+        totals = jnp.where(jnp.isnan(costs_all[:, 0]), jnp.inf,
+                           costs_all[:, 0])
+        best = jnp.argmin(totals)
+        x_new, us, cvec = xs_all[best], us_all[best], costs_all[best]
+        return x_new, us, key, (cvec[0], cvec[1], cvec[2], cvec[3])
 
     # ------------------------------------------------------------------
     def local_descent(self, x_trj, u_trj):

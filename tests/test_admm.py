@@ -1,0 +1,125 @@
+"""Boxed TV-LQR (ADMM) vs the native C++ QP oracle — the
+"(c) ≡ OSQP on random instances" test from SURVEY §7 step 2."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irs_mpc_tpu.native import qp_box_eq_solve
+from irs_mpc_tpu.ops import admm as admm_ops
+from irs_mpc_tpu.ops import lqr as lqr_ops
+
+
+def _random_problem(T=6, n=3, m=2, seed=0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(T, n, n) * 0.3 + np.eye(n)
+    B = rng.randn(T, n, m) * 0.5
+    c = rng.randn(T, n) * 0.1
+    Q = np.diag(rng.rand(n) + 0.5)
+    R = np.diag(rng.rand(m) + 0.5)
+    Qd = Q * 3.0
+    x0 = rng.randn(n) * 0.5
+    xd = rng.randn(T + 1, n) * 0.5
+    j = lambda a: jnp.asarray(a, jnp.float32)
+    return j(A), j(B), j(c), j(Q), j(Qd), j(R), j(x0), j(xd)
+
+
+def _oracle_solve(prob: lqr_ops.LqrProblem, x_lb, x_ub, u_lb, u_ub):
+    """Dense oracle: stack w = [x_0..x_T, u_0..u_{T-1}], box on everything."""
+    A = np.asarray(prob.A, np.float64)
+    B = np.asarray(prob.B, np.float64)
+    c = np.asarray(prob.c, np.float64)
+    T, n, m = B.shape
+    nx = (T + 1) * n
+    nv = nx + T * m
+
+    H = np.zeros((nv, nv))
+    f = np.zeros(nv)
+    xi = lambda t: slice(t * n, (t + 1) * n)
+    ui = lambda t: slice(nx + t * m, nx + (t + 1) * m)
+    for t in range(T):
+        H[xi(t), xi(t)] += 2 * np.asarray(prob.Q[t], np.float64)
+        H[ui(t), ui(t)] += 2 * np.asarray(prob.R[t], np.float64)
+        N = np.asarray(prob.N[t], np.float64)
+        H[xi(t), ui(t)] += 2 * N
+        H[ui(t), xi(t)] += 2 * N.T
+        f[xi(t)] += 2 * np.asarray(prob.q[t], np.float64)
+        f[ui(t)] += 2 * np.asarray(prob.r[t], np.float64)
+    H[xi(T), xi(T)] += 2 * np.asarray(prob.Qf, np.float64)
+    f[xi(T)] += 2 * np.asarray(prob.qf, np.float64)
+
+    ne = (T + 1) * n
+    E = np.zeros((ne, nv))
+    d = np.zeros(ne)
+    E[0:n, xi(0)] = np.eye(n)
+    d[0:n] = np.asarray(prob.x0, np.float64)
+    for t in range(T):
+        r0 = (t + 1) * n
+        E[r0:r0 + n, xi(t)] = A[t]
+        E[r0:r0 + n, ui(t)] = B[t]
+        E[r0:r0 + n, xi(t + 1)] = -np.eye(n)
+        d[r0:r0 + n] = -c[t]
+
+    lb = np.concatenate([np.tile(x_lb, T + 1), np.tile(u_lb, T)])
+    ub = np.concatenate([np.tile(x_ub, T + 1), np.tile(u_ub, T)])
+    # x_0 is pinned by equality; relax its box to avoid conflict.
+    lb[0:n] = -1e9
+    ub[0:n] = 1e9
+    w = qp_box_eq_solve(H, f, E, d, lb, ub, rho=10.0, iters=20000, tol=1e-12)
+    return w[:nx].reshape(T + 1, n), w[nx:].reshape(T, m)
+
+
+def test_unconstrained_boxes_match_riccati():
+    """With wide boxes the ADMM solve must equal the pure Riccati solution."""
+    A, B, c, Q, Qd, R, x0, xd = _random_problem(seed=1)
+    prob = lqr_ops.build_tracking_problem(A, B, c, Q, Qd, R, x0, xd)
+    T, n, m = B.shape
+    big = 1e4
+    bounds = admm_ops.BoxBounds(
+        x=jnp.stack([jnp.full((T + 1, n), -big), jnp.full((T + 1, n), big)]),
+        u=jnp.stack([jnp.full((T, m), -big), jnp.full((T, m), big)]))
+    sol = admm_ops.solve_boxed_tvlqr(prob, bounds, n_phys=n, iters=40)
+    x_ref, u_ref, _ = lqr_ops.lqr_solve(prob)
+    np.testing.assert_allclose(sol.x_trj, x_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(sol.u_trj, u_ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_boxed_matches_native_oracle(seed):
+    A, B, c, Q, Qd, R, x0, xd = _random_problem(T=6, n=3, m=2, seed=seed)
+    prob = lqr_ops.build_tracking_problem(A, B, c, Q, Qd, R, x0, xd)
+    T, n, m = B.shape
+    # Tight-ish input box + loose state box so constraints actually bind.
+    u_lb, u_ub = -0.3 * np.ones(m), 0.3 * np.ones(m)
+    x_lb, x_ub = -2.0 * np.ones(n), 2.0 * np.ones(n)
+    bounds = admm_ops.BoxBounds(
+        x=jnp.stack([jnp.tile(jnp.asarray(x_lb, jnp.float32), (T + 1, 1)),
+                     jnp.tile(jnp.asarray(x_ub, jnp.float32), (T + 1, 1))]),
+        u=jnp.stack([jnp.tile(jnp.asarray(u_lb, jnp.float32), (T, 1)),
+                     jnp.tile(jnp.asarray(u_ub, jnp.float32), (T, 1))]))
+    sol = admm_ops.solve_boxed_tvlqr(prob, bounds, n_phys=n, rho=5.0,
+                                     iters=300)
+    x_or, u_or = _oracle_solve(prob, x_lb, x_ub, u_lb, u_ub)
+    assert float(sol.r_primal) < 1e-3
+    np.testing.assert_allclose(sol.u_trj, u_or, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(sol.x_trj, x_or, rtol=2e-2, atol=2e-2)
+    # The binding input bounds must be respected.
+    assert np.all(np.asarray(sol.u_trj) <= u_ub + 1e-3)
+    assert np.all(np.asarray(sol.u_trj) >= u_lb - 1e-3)
+
+
+def test_native_oracle_simple_qp():
+    """Sanity: min (w-2)^2 with w <= 1 -> w = 1; equality w0 + w1 = 1."""
+    P = np.eye(2) * 2
+    f = np.array([-4.0, 0.0])
+    E = np.array([[1.0, 1.0]])
+    d = np.array([1.0])
+    lb = np.array([-10.0, -10.0])
+    ub = np.array([10.0, 10.0])
+    w = qp_box_eq_solve(P, f, E, d, lb, ub)
+    # KKT: w = argmin (w0-2)^2 + w1^2/... actually: 0.5 w'Pw + f'w
+    # = w0^2 - 4 w0 + w1^2, s.t. w0 + w1 = 1 -> w0 = 1.5, w1 = -0.5.
+    np.testing.assert_allclose(w, [1.5, -0.5], atol=1e-6)
+    # Now with binding box w0 <= 1: w0 = 1, w1 = 0.
+    ub2 = np.array([1.0, 10.0])
+    w2 = qp_box_eq_solve(P, f, E, d, lb, ub2)
+    np.testing.assert_allclose(w2, [1.0, 0.0], atol=1e-5)
