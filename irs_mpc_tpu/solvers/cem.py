@@ -1,0 +1,139 @@
+"""Cross-entropy method baseline, fully vectorized on-device.
+
+Capability parity with the reference's ``CrossEntropyMethod``
+(``/root/reference/irs_lqr/cem.py:34-216``) and its quasistatic/MBP variants
+(``cem_quasistatic.py``, ``cem_mbp*.py``): Gaussian population over entire
+input trajectories, elite selection, mean/std refit with adaptive variance.
+The reference rolls out the population serially in python (``cem.py:166-169``,
+its hot loop); here the whole population rolls as one ``vmap`` over a
+``lax.scan`` — B x T dynamics steps in a single XLA program — and elites come
+from ``lax.top_k``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import System
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class CemParams:
+    """Mirrors ``CemParameters`` (cem.py:7-32)."""
+    Q: np.ndarray = None
+    Qd: np.ndarray = None
+    R: np.ndarray = None
+    x0: np.ndarray = None
+    xd_trj: np.ndarray = None
+    u_trj_init: np.ndarray = None
+    n_elite: int = 20
+    batch_size: int = 200
+    initial_std: np.ndarray = None       # (m,) per-input std
+    # Δu-cost mode (quasistatic CEM variants, cem_quasistatic.py:147-153).
+    indices_u_into_x: Optional[np.ndarray] = None
+    # Optional clipping box on sampled inputs (2, m).
+    u_bounds_abs: Optional[np.ndarray] = None
+    seed: int = 0
+    # Reference quirk: evaluate_cost uses Q (not Qd) on the final state.
+    report_final_cost_with_Q: bool = True
+
+
+class CrossEntropyMethod:
+    """construct with (system, params); ``iterate(n) -> (x_trj, u_trj, cost)``
+    with history lists, like the reference."""
+
+    def __init__(self, system: System, params: CemParams):
+        self.system = system
+        self.params = params
+        f32 = lambda a: None if a is None else jnp.asarray(a, jnp.float32)
+        self.Q, self.Qd, self.R = f32(params.Q), f32(params.Qd), f32(params.R)
+        self.x0 = f32(params.x0)
+        self.xd_trj = f32(params.xd_trj)
+        self.u_trj = f32(params.u_trj_init)
+        self.T = int(self.u_trj.shape[0])
+        self.idx_u = (None if params.indices_u_into_x is None
+                      else jnp.asarray(params.indices_u_into_x, jnp.int32))
+        self.std_trj = jnp.tile(f32(params.initial_std), (self.T, 1))
+        self.key = jax.random.PRNGKey(params.seed)
+
+        self.x_trj = system.rollout(self.x0, self.u_trj)
+        self.cost = float(self._cost(self.x_trj, self.u_trj))
+
+        self.x_trj_lst = [np.asarray(self.x_trj)]
+        self.u_trj_lst = [np.asarray(self.u_trj)]
+        self.cost_lst = [self.cost]
+        self.cost_best = self.cost
+        self.x_trj_best = np.asarray(self.x_trj)
+        self.u_trj_best = np.asarray(self.u_trj)
+        self.start_time = time.time()
+        self.iter = 1
+        self._step_jit = jax.jit(self._step)
+
+    # ------------------------------------------------------------------
+    def _cost(self, x_trj, u_trj):
+        ex = x_trj[:-1] - self.xd_trj[:-1]
+        c = jnp.einsum("ti,ij,tj->", ex, self.Q, ex)
+        ef = x_trj[-1] - self.xd_trj[-1]
+        Qf = self.Q if self.params.report_final_cost_with_Q else self.Qd
+        c += ef @ Qf @ ef
+        if self.idx_u is None:
+            c += jnp.einsum("ti,ij,tj->", u_trj, self.R, u_trj)
+        else:
+            u_prev = jnp.concatenate(
+                [x_trj[0, self.idx_u][None], u_trj[:-1]], axis=0)
+            du = u_trj - u_prev
+            c += jnp.einsum("ti,ij,tj->", du, self.R, du)
+        return c
+
+    def _step(self, u_trj, std_trj, key):
+        p = self.params
+        key, k = jax.random.split(key)
+        eps = jax.random.normal(k, (p.batch_size, self.T, self.system.dim_u))
+        cand = u_trj[None] + std_trj[None] * eps
+        if p.u_bounds_abs is not None:
+            b = jnp.asarray(p.u_bounds_abs, jnp.float32)
+            cand = jnp.clip(cand, b[0], b[1])
+
+        def eval_one(u):
+            x = self.system.rollout(self.x0, u)
+            return self._cost(x, u)
+
+        with jax.default_matmul_precision("highest"):
+            costs = jax.vmap(eval_one)(cand)
+        # lowest-cost elites
+        _, elite_idx = jax.lax.top_k(-costs, p.n_elite)
+        elites = cand[elite_idx]
+        u_new = jnp.mean(elites, axis=0)
+        std_new = jnp.std(elites, axis=0)
+        x_new = self.system.rollout(self.x0, u_new)
+        cost_new = self._cost(x_new, u_new)
+        return x_new, u_new, std_new, cost_new, key
+
+    # ------------------------------------------------------------------
+    def iterate(self, max_iterations: int, verbose: bool = True):
+        for _ in range(max_iterations):
+            x_new, u_new, std_new, cost_new, self.key = self._step_jit(
+                self.u_trj, self.std_trj, self.key)
+            cost_new = float(cost_new)
+            if verbose:
+                print(f"Iteration: {self.iter:02d} || Current Cost: "
+                      f"{cost_new:.6f} || Elapsed time: "
+                      f"{time.time() - self.start_time:.5f}")
+            self.x_trj_lst.append(np.asarray(x_new))
+            self.u_trj_lst.append(np.asarray(u_new))
+            self.cost_lst.append(cost_new)
+            if cost_new < self.cost_best:
+                self.cost_best = cost_new
+                self.x_trj_best = np.asarray(x_new)
+                self.u_trj_best = np.asarray(u_new)
+            self.x_trj, self.u_trj, self.std_trj = x_new, u_new, std_new
+            self.cost = cost_new
+            self.iter += 1
+        return self.x_trj, self.u_trj, self.cost

@@ -79,6 +79,10 @@ class IrsMpcParams:
     admm_iters: int = 60                 # boxed-QP iterations (resolve mode)
     admm_rho: float = 1.0
     seed: int = 0
+    # Optional jax.sharding.Mesh with ("sample", "knot") axes: shards the
+    # Monte-Carlo estimation across devices (replaces the reference's ZMQ
+    # worker farm, see parallel/sharded.py).
+    mesh: Optional[object] = None
     # The reference's evaluate_cost uses Q (not Qd) on the final state — a
     # quirk (irs_lqr.py:134-136).  Keep True to match its CSV baselines.
     report_final_cost_with_Q: bool = True
@@ -255,8 +259,14 @@ class IrsMpc:
         sys = self.system
         key, k_est = jax.random.split(key)
 
-        tv = estimate_tv_matrices(sys, p.gradient_mode, x_trj, u_trj,
-                                  k_est, it, p.smoothing)
+        if p.mesh is not None:
+            from ..parallel.sharded import sharded_estimate_tv_matrices
+            tv = sharded_estimate_tv_matrices(
+                sys, p.gradient_mode, x_trj, u_trj, k_est, it, p.smoothing,
+                p.mesh)
+        else:
+            tv = estimate_tv_matrices(sys, p.gradient_mode, x_trj, u_trj,
+                                      k_est, it, p.smoothing)
         if p.decouple_AB:
             tv = decouple_AB(tv, self.idx_u, x_trj, u_trj, sys)
 

@@ -1,0 +1,47 @@
+"""CEM baseline tests (reference: cem.py drivers, e.g. quadrotor_cem.py)."""
+import jax.numpy as jnp
+import numpy as np
+
+from irs_mpc_tpu import make_pendulum
+from irs_mpc_tpu.solvers.cem import CemParams, CrossEntropyMethod
+
+
+def test_cem_pendulum_descends():
+    T = 60
+    p = CemParams(
+        Q=np.diag([1., 1.]), Qd=np.diag([20., 20.]), R=np.diag([0.1]),
+        x0=np.zeros(2), xd_trj=np.tile([np.pi, 0.], (T + 1, 1)),
+        u_trj_init=np.zeros((T, 1)),
+        n_elite=20, batch_size=300, initial_std=np.array([1.0]))
+    cem = CrossEntropyMethod(make_pendulum(0.05), p)
+    c0 = cem.cost
+    cem.iterate(15, verbose=False)
+    assert cem.cost_best < 0.5 * c0
+    assert len(cem.cost_lst) == 16
+    assert cem.cost_best == min(cem.cost_lst)
+
+
+def test_cem_adaptive_std_shrinks():
+    T = 30
+    p = CemParams(
+        Q=np.diag([1., 1.]), Qd=np.diag([20., 20.]), R=np.diag([0.1]),
+        x0=np.zeros(2), xd_trj=np.tile([np.pi, 0.], (T + 1, 1)),
+        u_trj_init=np.zeros((T, 1)),
+        n_elite=10, batch_size=100, initial_std=np.array([1.0]))
+    cem = CrossEntropyMethod(make_pendulum(0.05), p)
+    s0 = float(jnp.mean(cem.std_trj))
+    cem.iterate(10, verbose=False)
+    assert float(jnp.mean(cem.std_trj)) < s0
+
+
+def test_cem_respects_u_bounds():
+    T = 30
+    p = CemParams(
+        Q=np.diag([1., 1.]), Qd=np.diag([20., 20.]), R=np.diag([0.1]),
+        x0=np.zeros(2), xd_trj=np.tile([np.pi, 0.], (T + 1, 1)),
+        u_trj_init=np.zeros((T, 1)),
+        n_elite=10, batch_size=100, initial_std=np.array([1.0]),
+        u_bounds_abs=np.array([[-0.7], [0.7]]))
+    cem = CrossEntropyMethod(make_pendulum(0.05), p)
+    cem.iterate(5, verbose=False)
+    assert np.all(np.abs(cem.u_trj_lst[-1]) <= 0.7 + 1e-6)

@@ -1,0 +1,80 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh — the
+single-host stand-in for a pod slice (SURVEY §4 implication 5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irs_mpc_tpu import (IrsMpc, IrsMpcParams, SmoothingConfig,
+                         estimate_tv_matrices, make_pendulum)
+from irs_mpc_tpu.parallel.sharded import (default_mesh, make_mesh,
+                                          sharded_estimate_tv_matrices)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _nominal(T=20):
+    sys = make_pendulum(0.05)
+    u_trj = jnp.ones((T, 1)) * 0.1
+    x_trj = sys.rollout(jnp.zeros(2), u_trj)
+    return sys, x_trj, u_trj
+
+
+@pytest.mark.parametrize("mode", ["exact", "first_order", "zero_order",
+                                  "zero_order_B", "zero_order_AB"])
+def test_sharded_estimation_matches_single_device(mode):
+    sys, x_trj, u_trj = _nominal()
+    cfg = SmoothingConfig(num_samples=4000, std_x=0.3, std_u=0.3)
+    mesh = make_mesh(4, 2)
+    tv_s = sharded_estimate_tv_matrices(sys, mode, x_trj, u_trj,
+                                        jax.random.PRNGKey(0), 1.0, cfg, mesh)
+    tv_r = estimate_tv_matrices(sys, mode, x_trj, u_trj,
+                                jax.random.PRNGKey(0), 1.0, cfg)
+    # Statistically identical (different sample draws): tight for exact,
+    # Monte-Carlo tolerance otherwise.
+    tol = 1e-6 if mode == "exact" else 5e-2
+    np.testing.assert_allclose(tv_s.A, tv_r.A, atol=tol)
+    np.testing.assert_allclose(tv_s.B, tv_r.B, atol=tol)
+    np.testing.assert_allclose(tv_s.c, tv_r.c, atol=tol)
+
+
+def test_sharded_estimation_deterministic():
+    sys, x_trj, u_trj = _nominal()
+    cfg = SmoothingConfig(num_samples=800, std_x=0.3, std_u=0.3)
+    mesh = make_mesh(8, 1)
+    f = lambda: sharded_estimate_tv_matrices(
+        sys, "zero_order", x_trj, u_trj, jax.random.PRNGKey(3), 1.0, cfg,
+        mesh)
+    np.testing.assert_array_equal(f().A, f().A)
+
+
+def test_knot_padding():
+    """T not divisible by knot shards must still give correct results."""
+    sys, x_trj, u_trj = _nominal(T=13)
+    cfg = SmoothingConfig(num_samples=800, std_x=0.3, std_u=0.3)
+    mesh = make_mesh(4, 2)  # 13 % 2 != 0
+    tv = sharded_estimate_tv_matrices(sys, "exact", x_trj, u_trj,
+                                      jax.random.PRNGKey(0), 1.0, cfg, mesh)
+    tv_r = estimate_tv_matrices(sys, "exact", x_trj, u_trj,
+                                jax.random.PRNGKey(0), 1.0, cfg)
+    np.testing.assert_allclose(tv.A, tv_r.A, atol=1e-6)
+    assert tv.A.shape == (13, 2, 2)
+
+
+def test_full_solver_on_mesh_converges():
+    """End-to-end iRS-MPC with mesh-sharded estimation reproduces the
+    single-device pendulum convergence."""
+    T = 100
+    mesh = default_mesh()
+    params = IrsMpcParams(
+        Q=np.diag([1., 1.]), Qd=np.diag([20., 20.]), R=np.diag([1.]),
+        x0=np.zeros(2), xd_trj=np.tile([np.pi, 0.], (T + 1, 1)),
+        u_trj_init=np.tile([0.1], (T, 1)),
+        gradient_mode="zero_order",
+        smoothing=SmoothingConfig(num_samples=800, std_x=1.0, std_u=1.0),
+        mesh=mesh)
+    s = IrsMpc(make_pendulum(0.05), params)
+    c0 = s.cost
+    s.iterate(8, verbose=False)
+    assert s.cost < 0.25 * c0
