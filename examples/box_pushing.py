@@ -1,0 +1,70 @@
+"""Box pushing: a point pusher slides a 1m box to a goal pose.
+
+Mirrors ``/root/reference/examples/box_pushing/run_box_pushing.py``: box at
+(0, 0.5, 0), hand at (0, -0.2), gravity off, Kp=500, zero_order_B gradients,
+100 samples (box_pushing_setup.py), T = 6/h = 60 knots.
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from irs_mpc_tpu import IrsMpc, IrsMpcParams, SmoothingConfig
+from irs_mpc_tpu.models.contact.systems import make_box_pushing
+
+
+def build_solver(gradient_mode="zero_order_B", num_samples=100, T=60):
+    model = make_box_pushing(h=0.1)
+    system = model.system()
+    idx_u = model.indices_u_into_x()
+
+    q0 = {"box": np.array([0.0, 0.5, 0.0]),
+          "hand": np.array([0.0, -0.2])}
+    x0 = model.get_x_from_q_dict(q0)
+
+    # Goal: slide the box sideways and rotate it a bit.
+    xd_dict = {"box": np.array([0.5, 1.0, -0.3]),
+               "hand": np.array([0.0, -0.2])}
+    xd = model.get_x_from_q_dict(xd_dict)
+    x_trj_d = np.tile(xd, (T + 1, 1))
+
+    Q_dict = {"box": np.array([10.0, 10.0, 10.0]),
+              "hand": np.array([1e-4, 1e-4])}
+    Qd_dict = {k: v * 100 for k, v in Q_dict.items()}
+    R_dict = {"hand": np.array([1.0, 1.0])}
+
+    params = IrsMpcParams(
+        Q=model.get_Q_from_Q_dict(Q_dict),
+        Qd=model.get_Q_from_Q_dict(Qd_dict),
+        R=model.get_R_from_R_dict(R_dict),
+        x0=x0, xd_trj=x_trj_d, u_trj_init=np.tile(x0[idx_u], (T, 1)),
+        u_bounds_abs=np.array([-np.ones(2) * 0.5 * model.h,
+                               np.ones(2) * 0.5 * model.h]),
+        bounds_trust_region=True,
+        indices_u_into_x=idx_u,
+        unactuated_indices=np.array([0, 1, 2]),
+        gradient_mode=gradient_mode,
+        decouple_AB=True,
+        smoothing=SmoothingConfig(
+            num_samples=num_samples, std_u=0.2, std_x=1e-3,
+            decay=lambda it: 1.0 / it ** 0.8, decay_std_x=False),
+        admm_iters=30,
+        report_final_cost_with_Q=False,
+    )
+    return IrsMpc(system, params), model
+
+
+def main():
+    solver, model = build_solver()
+    print(f"initial cost: {solver.cost:.4f}")
+    solver.iterate(10)
+    print(f"best cost: {solver.cost_best:.4f}")
+    print("box final:", solver.x_trj_best[-1][:3],
+          "goal:", np.asarray(solver.xd_trj[-1][:3]))
+    return solver
+
+
+if __name__ == "__main__":
+    main()

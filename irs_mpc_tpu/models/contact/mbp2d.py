@@ -1,0 +1,127 @@
+"""Second-order planar rigid-body dynamics with contact (MBP equivalent).
+
+The TPU-native replacement for the reference's Drake MultibodyPlant backends
+(``/root/reference/irs_lqr/mbp_dynamics.py`` — torque-driven, x=(q,v) — and
+``mbp_dynamics_position.py`` — PID position-controlled, u = desired
+positions, kp=stiffness, kd=0.2*stiffness, ``:54-71``).
+
+One step is Anitescu velocity-level time stepping — the same convex QP layer
+as the quasistatic engine, now over the next velocity:
+
+    v_free = v + h M^{-1} tau(q, v, u)
+    min_v'  1/2 (v' - v_free)' M (v' - v_free)
+    s.t.    (J_n +- mu J_t)(h v') + phi >= 0
+    q_next = q + h v',   x_next = (q_next, v')
+
+Geometry, bodies, and contact rows are shared with QuasistaticModel.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import System
+from .qp import solve_qp
+from .quasistatic import QuasistaticModel
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Mbp2DModel:
+    """Second-order wrapper around a QuasistaticModel's geometry/config.
+
+    ``base`` supplies bodies, pairs, model instances, gravity.  Masses for
+    actuated dofs come from ``actuated_mass`` (the quasistatic model treats
+    actuated dofs as massless position-servos; a second-order plant needs
+    real inertia).  Damping is a diagonal joint-space viscous term.
+    """
+    base: QuasistaticModel
+    actuated_mass: Tuple[float, ...]
+    damping: float = 0.2
+    control_mode: str = "position"     # "position" (PID) | "torque"
+    kd_ratio: float = 0.2              # reference mbp_dynamics_position.py:63
+
+    @property
+    def nq(self):
+        return self.base.nq
+
+    @property
+    def dim_x(self):
+        return 2 * self.base.nq
+
+    @property
+    def dim_u(self):
+        if self.control_mode == "position":
+            return self.base.dim_u
+        return self.base.dim_u     # torques on the same actuated dofs
+
+    def _mass_vector(self) -> Array:
+        m = np.zeros(self.nq, np.float32)
+        ia = 0
+        for inst in self.base.models:
+            idx = np.asarray(inst.q_indices)
+            if inst.actuated:
+                m[idx] = np.asarray(
+                    self.actuated_mass[ia:ia + len(inst.q_indices)])
+                ia += len(inst.q_indices)
+            else:
+                m[idx] = np.asarray(inst.mass)
+        return jnp.asarray(m)
+
+    def step(self, x: Array, u: Array) -> Array:
+        base = self.base
+        h = base.h
+        nq = self.nq
+        q, v = x[:nq], x[nq:]
+        M = self._mass_vector()
+
+        # Generalized forces.
+        tau = jnp.zeros(nq)
+        gz = jnp.asarray(base.gravity, jnp.float32)
+        iu = 0
+        for inst in base.models:
+            idx = jnp.asarray(inst.q_indices)
+            nd = len(inst.q_indices)
+            if inst.actuated:
+                if self.control_mode == "position":
+                    kp = jnp.asarray(inst.stiffness, jnp.float32)
+                    kd = self.kd_ratio * kp
+                    tau = tau.at[idx].add(
+                        kp * (u[iu:iu + nd] - q[idx]) - kd * v[idx])
+                else:
+                    tau = tau.at[idx].add(u[iu:iu + nd])
+                iu += nd
+            else:
+                # Gravity on the first two (translation) dofs.
+                if nd >= 2:
+                    mass = jnp.asarray(inst.mass, jnp.float32)
+                    tau = tau.at[idx[0]].add(mass[0] * gz[0])
+                    tau = tau.at[idx[1]].add(mass[1] * gz[1])
+        tau = tau - self.damping * v
+
+        v_free = v + h * tau / M
+        G, phi = base.contact_rows(q)
+        if G is None:
+            v_next = v_free
+        else:
+            # min 1/2 v'M v - (M v_free)'v  s.t.  -(h G) v <= phi
+            P = jnp.diag(M)
+            b = -(M * v_free)
+            v_next = solve_qp(P, b, -h * G, phi, base.qp_iters)
+        q_next = q + h * v_next
+        return jnp.concatenate([q_next, v_next])
+
+    def system(self) -> System:
+        return System(name=f"{self.base.name}_mbp",
+                      dim_x=self.dim_x, dim_u=self.dim_u,
+                      h=self.base.h, step=self.step)
+
+    def indices_u_into_x(self) -> np.ndarray:
+        """Actuated POSITION indices into the (q, v) state — used by the
+        Δu-cost position-controlled solver (IrsLqrMbpPosition analogue)."""
+        return self.base.indices_u_into_x()

@@ -1,0 +1,105 @@
+"""Differentiable dense convex QP layer (on-device, batched).
+
+The workhorse of the contact engine: the quasistatic (and second-order)
+contact step is one small convex QP per timestep.  The reference delegates
+this to an external C++ project (``QuasistaticSimulatorCpp.step`` with
+``requires_grad`` / ``grad_from_active_constraints``,
+``/root/reference/irs_lqr/quasistatic_dynamics.py:146-188``); here it is a
+primal-dual interior-point solve with a FIXED iteration count (jit/vmap-safe,
+no data-dependent control flow) plus an implicit-function custom JVP — the
+standard differentiable-QP sensitivity, which converges to the reference's
+active-constraint gradient as the duality gap -> 0.
+
+Problem:    min_x  1/2 x'Px + q'x   s.t.  C x <= d
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
+    """Primal-dual interior point with fixed iteration count.
+
+    Returns (x, s, lam).  All inputs full-rank small dense; batched via vmap.
+    """
+    n = q.shape[0]
+    m = d.shape[0]
+    In = jnp.eye(n, dtype=P.dtype)
+
+    # Start strictly feasible in (s, lam); x from the regularized
+    # unconstrained minimum.
+    x0 = jnp.linalg.solve(P + 1e-8 * In, -q)
+    slack0 = d - C @ x0
+    shift = jnp.maximum(0.0, -jnp.min(slack0)) + 1.0
+    s0 = slack0 + shift
+    lam0 = jnp.ones((m,), P.dtype)
+
+    # f32 safety: floor the barrier target and cap the scaling lam/s so H
+    # stays solvable when the duality gap reaches float32 resolution
+    # (otherwise extra iterations past convergence produce NaNs).
+    mu_floor = 3e-7
+    w_cap = 1e6
+
+    def body(carry, _):
+        x, s, lam = carry
+        mu = jnp.maximum(jnp.dot(s, lam) / m, mu_floor)
+        r_d = P @ x + q + C.T @ lam
+        r_p = C @ x + s - d
+        r_c = lam * s - sigma * mu
+
+        s_safe = jnp.maximum(s, 1e-7)
+        w = jnp.minimum(lam / s_safe, w_cap)          # (m,)
+        H = P + (C.T * w) @ C
+        rhs = -(r_d + C.T @ (w * r_p - r_c / s_safe))
+        dx = jnp.linalg.solve(H + 1e-8 * In, rhs)
+        ds = -r_p - C @ dx
+        dlam = (-r_c - lam * ds) / s_safe
+
+        # Fraction-to-boundary step.
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0),
+                              jnp.inf)
+            return jnp.minimum(1.0, 0.995 * jnp.min(ratio))
+
+        alpha = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
+        return (x + alpha * dx, s + alpha * ds, lam + alpha * dlam), None
+
+    (x, s, lam), _ = jax.lax.scan(body, (x0, s0, lam0), None, length=iters)
+    return x, s, lam
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(4,))
+def solve_qp(P: Array, q: Array, C: Array, d: Array,
+             iters: int = 30) -> Array:
+    """Differentiable argmin of the inequality-constrained QP."""
+    x, _, _ = _pdip_solve(P, q, C, d, iters)
+    return x
+
+
+@solve_qp.defjvp
+def _solve_qp_jvp(iters, primals, tangents):
+    P, q, C, d = primals
+    dP, dq, dC, dd = tangents
+    x, s, lam = _pdip_solve(P, q, C, d, iters)
+
+    # Implicit differentiation of the (relaxed) KKT system with the duals'
+    # sensitivity D = lam/s — the soft active set.  As the solve tightens,
+    # D -> inf on active rows and 0 on inactive ones, recovering the
+    # reference's grad_from_active_constraints semantics.
+    eps = 1e-8
+    D = lam / jnp.maximum(s, eps)
+    n = q.shape[0]
+    H = P + (C.T * D) @ C + 1e-10 * jnp.eye(n, dtype=P.dtype)
+    rhs = -(dP @ x + dq + dC.T @ lam) + C.T @ (D * (dd - dC @ x))
+    dx = jnp.linalg.solve(H, rhs)
+    return x, dx
+
+
+def solve_qp_with_duals(P, q, C, d, iters: int = 30):
+    """Non-differentiable variant returning (x, s, lam) for diagnostics."""
+    return _pdip_solve(P, q, C, d, iters)

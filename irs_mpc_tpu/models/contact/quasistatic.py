@@ -1,0 +1,218 @@
+"""Differentiable quasistatic contact dynamics (Anitescu convex time-stepping).
+
+The TPU-native replacement for the reference's external C++ contact engine
+(``QuasistaticSimulatorCpp`` driven through
+``/root/reference/irs_lqr/quasistatic_dynamics.py``): position-controlled
+robots with stiffness Kp, quasi-dynamic unactuated objects, friction via the
+Anitescu cone discretization (nd_per_contact = 2 in 2D, matching the
+reference drivers, e.g. ``run_planar_hand.py:24``), one convex QP per step,
+analytic sensitivities by implicit differentiation (the role of
+``requires_grad`` / ``grad_from_active_constraints``).
+
+Step QP over the configuration change dq:
+
+    min_dq  1/2 dq_a' Kp dq_a + (Kp (q_a - u))' dq_a        [elastic energy]
+          + 1/2 dq_u' (M_u / h^2) dq_u - tau_ext' dq_u       [quasi-dynamic]
+    s.t.    (J_n +- mu J_t) dq >= -phi_c   for every contact c
+
+    q_next = q + dq*.
+
+Statics check: an unactuated dof in free space settles at dq = h^2 M^{-1} tau
+per step (constant-velocity fall), and in contact the QP trades elastic vs
+contact energy exactly like the reference's formulation.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import System
+from . import geometry as geom
+from .qp import solve_qp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelInstance:
+    """A named group of dofs — the analogue of a Drake model instance, which
+    the reference keys its cost dicts and u-marshalling on
+    (``quasistatic_dynamics.py:58-119``)."""
+    name: str
+    q_indices: Tuple[int, ...]
+    actuated: bool
+    # actuated: per-dof stiffness Kp; unactuated: per-dof mass/inertia.
+    stiffness: Optional[Tuple[float, ...]] = None
+    mass: Optional[Tuple[float, ...]] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ContactPair:
+    """Collision candidate between two bodies' shapes (static enumeration).
+
+    ``link_a``/``link_b`` select the link for Arm2D bodies (else ignored).
+    """
+    body_a: int
+    body_b: int
+    shape_a: int = 0
+    shape_b: int = 0
+    mu: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class QuasistaticModel:
+    """Static description of a quasistatic system; step() is pure."""
+    name: str
+    h: float
+    nq: int
+    models: Tuple[ModelInstance, ...]
+    bodies: Tuple[geom.BodyBase, ...]
+    pairs: Tuple[ContactPair, ...]
+    gravity: Tuple[float, float] = (0.0, -10.0)
+    # Per-unactuated-translation-dof gravity application: dict from model
+    # name to (2,) direction selection is implicit: translation dofs get
+    # m*g on the z component; rotation dofs get 0.
+    qp_iters: int = 30
+
+    # ---- bookkeeping (mirrors QuasistaticDynamics marshalling) ----------
+
+    @property
+    def dim_x(self) -> int:
+        return self.nq
+
+    @property
+    def dim_u(self) -> int:
+        return sum(len(m.q_indices) for m in self.models if m.actuated)
+
+    @property
+    def models_actuated(self):
+        return [m for m in self.models if m.actuated]
+
+    @property
+    def models_unactuated(self):
+        return [m for m in self.models if not m.actuated]
+
+    def indices_u_into_x(self) -> np.ndarray:
+        """Reference ``get_u_indices_into_x`` (quasistatic_dynamics.py:58-66)."""
+        out = []
+        for m in self.models_actuated:
+            out.extend(m.q_indices)
+        return np.asarray(out, np.int32)
+
+    def get_q_dict_from_x(self, x) -> Dict[str, Array]:
+        return {m.name: x[..., list(m.q_indices)] for m in self.models}
+
+    def get_x_from_q_dict(self, q_dict: Dict[str, np.ndarray]) -> np.ndarray:
+        x = np.zeros(self.nq, np.float32)
+        for m in self.models:
+            x[list(m.q_indices)] = np.asarray(q_dict[m.name])
+        return x
+
+    def get_u_from_q_cmd_dict(self, q_cmd: Dict[str, np.ndarray]) -> np.ndarray:
+        out = []
+        for m in self.models_actuated:
+            out.append(np.asarray(q_cmd[m.name]))
+        return np.concatenate(out).astype(np.float32)
+
+    def get_Q_from_Q_dict(self, Q_dict: Dict[str, np.ndarray]) -> np.ndarray:
+        """Diagonal state cost from per-model weights
+        (quasistatic_dynamics.py:103-110)."""
+        Q = np.zeros((self.nq, self.nq), np.float32)
+        for m in self.models:
+            idx = np.asarray(m.q_indices)
+            Q[idx, idx] = np.asarray(Q_dict[m.name])
+        return Q
+
+    def get_R_from_R_dict(self, R_dict: Dict[str, np.ndarray]) -> np.ndarray:
+        vals = []
+        for m in self.models_actuated:
+            vals.append(np.asarray(R_dict[m.name]))
+        v = np.concatenate(vals).astype(np.float32)
+        return np.diag(v)
+
+    # ---- QP assembly ----------------------------------------------------
+
+    def _hessian_and_bias(self, q: Array, u: Array):
+        """P (nq,nq) diagonal, b (nq,) of the step QP objective."""
+        P_diag = jnp.zeros(self.nq, jnp.float32)
+        b = jnp.zeros(self.nq, jnp.float32)
+        iu = 0
+        gz = jnp.asarray(self.gravity, jnp.float32)
+        for m in self.models:
+            idx = jnp.asarray(m.q_indices)
+            if m.actuated:
+                kp = jnp.asarray(m.stiffness, jnp.float32)
+                P_diag = P_diag.at[idx].set(kp)
+                nu = len(m.q_indices)
+                b = b.at[idx].set(kp * (q[idx] - u[iu:iu + nu]))
+                iu += nu
+            else:
+                mass = jnp.asarray(m.mass, jnp.float32)
+                P_diag = P_diag.at[idx].set(mass / self.h ** 2)
+                # Gravity on translation dofs: convention — for a FreeBody2D
+                # the first two dofs are (y, z); rotation dof gets none.
+                tau = jnp.zeros(len(m.q_indices))
+                if len(m.q_indices) >= 2:
+                    tau = tau.at[0].set(mass[0] * gz[0])
+                    tau = tau.at[1].set(mass[1] * gz[1])
+                b = b.at[idx].add(-tau * 1.0)
+        return jnp.diag(P_diag), b
+
+    def _body_point_jacobian(self, body_idx: int, q: Array, p: Array,
+                             shape_idx: int):
+        body = self.bodies[body_idx]
+        if isinstance(body, geom.Arm2D):
+            # shape k of an Arm2D is its k-th link capsule.
+            return body.point_jacobian_link(q, p, shape_idx)
+        return body.point_jacobian(q, p)
+
+    def contact_rows(self, q: Array):
+        """Assemble all contact constraint rows.
+
+        Returns (G, phi): G (n_rows, nq), phi (n_rows,) such that the
+        constraint set is G dq >= -phi (two Anitescu rows per contact point).
+        """
+        Gs, phis = [], []
+        for pair in self.pairs:
+            sa = self.bodies[pair.body_a].world_shapes(q)[pair.shape_a]
+            sb = self.bodies[pair.body_b].world_shapes(q)[pair.shape_b]
+            contacts = geom.shape_contact(sa, sb)
+            for (phi, p, n) in contacts:
+                Ja = self._body_point_jacobian(pair.body_a, q, p,
+                                               pair.shape_a)
+                Jb = self._body_point_jacobian(pair.body_b, q, p,
+                                               pair.shape_b)
+                Jrel = Jb - Ja                      # (2, nq)
+                t = geom._perp(n)
+                Jn = n @ Jrel                       # (nq,)
+                Jt = t @ Jrel
+                Gs.append(Jn + pair.mu * Jt)
+                Gs.append(Jn - pair.mu * Jt)
+                phis.append(phi)
+                phis.append(phi)
+        if not Gs:
+            return None, None
+        return jnp.stack(Gs), jnp.stack(phis)
+
+    # ---- the step -------------------------------------------------------
+
+    def step(self, x: Array, u: Array) -> Array:
+        """One quasistatic step: q_next = q + argmin QP.  Differentiable."""
+        q = x
+        P, b = self._hessian_and_bias(q, u)
+        G, phi = self.contact_rows(q)
+        if G is None:
+            dq = -jnp.linalg.solve(P + 1e-9 * jnp.eye(self.nq), b)
+        else:
+            # min 1/2 dq'P dq + b'dq  s.t.  -G dq <= phi
+            dq = solve_qp(P, b, -G, phi, self.qp_iters)
+        return q + dq
+
+    def system(self) -> System:
+        """Wrap as the framework's System (step/vmap/jacfwd derived)."""
+        return System(name=self.name, dim_x=self.nq, dim_u=self.dim_u,
+                      h=self.h, step=self.step)

@@ -64,6 +64,9 @@ class IrsMpcParams:
     # Position-controlled (Δu-cost) mode: indices of actuated DOFs in x
     # (tv_lqr.py:98-110).  None => plain u'Ru cost.
     indices_u_into_x: Optional[np.ndarray] = None
+    # Indices of unactuated DOFs in x, for the Qu/Qa cost-channel split
+    # (irs_lqr_quasistatic.py:156-193).  None => all cost reported as Qa.
+    unactuated_indices: Optional[np.ndarray] = None
 
     # Smoothing / estimation.
     gradient_mode: str = "zero_order"
@@ -90,10 +93,16 @@ class IrsMpcParams:
 
 @dataclasses.dataclass
 class IterationStats:
+    """Decomposed cost channels, mirroring the reference's
+    {Qu, Qu_final, Qa, Qa_final, R} tracking
+    (irs_lqr_quasistatic.py:100-109).  For systems without an
+    actuated/unactuated split, the Qa channels carry the full state cost."""
     cost: float
-    cost_x: float
-    cost_x_final: float
-    cost_u: float
+    cost_Qu: float
+    cost_Qu_final: float
+    cost_Qa: float
+    cost_Qa_final: float
+    cost_R: float
     wall_time: float
 
 
@@ -148,25 +157,49 @@ class IrsMpc:
 
     # ------------------------------------------------------------------
     def eval_cost(self, x_trj: Array, u_trj: Array):
-        """Returns (total, cost_x, cost_x_final, cost_u).
+        """Returns (total, cost_Qu, cost_Qu_final, cost_Qa, cost_Qa_final,
+        cost_R) — the reference's five channels (irs_lqr_quasistatic.py:
+        156-193).  The Qu/Qa split follows ``unactuated_indices`` (empty =>
+        everything lands in Qa, the generic-solver behavior).
 
-        Running: (x-xd)'Q(x-xd) + u-cost; final: (x-xd)'Qf(x-xd) where Qf is
-        Q when ``report_final_cost_with_Q`` (reference quirk) else Qd.
-        In Δu mode the u-cost is du'R du with du_0 = u_0 - x_0[idx]
-        (irs_lqr_quasistatic.py:185-191)."""
+        Running state cost uses Q; final uses Q under
+        ``report_final_cost_with_Q`` (generic-path quirk, irs_lqr.py:134-136)
+        else Qd (quasistatic path).  In Δu mode the R-cost is du'R du with
+        du_0 = u_0 - x_0[idx] (irs_lqr_quasistatic.py:185-191)."""
+        n = self.system.dim_x
+        mask_u = jnp.zeros((n,), jnp.float32)
+        if self.params.unactuated_indices is not None:
+            mask_u = mask_u.at[
+                jnp.asarray(self.params.unactuated_indices)].set(1.0)
+        mask_a = 1.0 - mask_u
+
         ex = x_trj[:-1] - self.xd_trj[:-1]
-        cost_x = jnp.einsum("ti,ij,tj->", ex, self.Q, ex)
-        ef = x_trj[-1] - self.xd_trj[-1]
         Qf = self.Q if self.params.report_final_cost_with_Q else self.Qd
-        cost_xf = ef @ Qf @ ef
+        ef = x_trj[-1] - self.xd_trj[-1]
+
+        def total_cost(e, M):
+            return jnp.einsum("...i,ij,...j->", e, M, e)
+
+        def u_channel(e, M):
+            return jnp.einsum("...i,ij,...j->", e * mask_u, M, e * mask_u)
+
+        # Channels defined so they always sum to the true total even for
+        # non-diagonal Q (cross-block terms land in the Qa channel).
+        cx, cxf = total_cost(ex, self.Q), total_cost(ef, Qf)
+        cost_Qu = u_channel(ex, self.Q)
+        cost_Quf = u_channel(ef, Qf)
+        cost_Qa = cx - cost_Qu
+        cost_Qaf = cxf - cost_Quf
+
         if self.idx_u is None:
-            cost_u = jnp.einsum("ti,ij,tj->", u_trj, self.R, u_trj)
+            cost_R = jnp.einsum("ti,ij,tj->", u_trj, self.R, u_trj)
         else:
             u_prev = jnp.concatenate(
                 [x_trj[0, self.idx_u][None], u_trj[:-1]], axis=0)
             du = u_trj - u_prev
-            cost_u = jnp.einsum("ti,ij,tj->", du, self.R, du)
-        return cost_x + cost_xf + cost_u, cost_x, cost_xf, cost_u
+            cost_R = jnp.einsum("ti,ij,tj->", du, self.R, du)
+        total = cost_Qu + cost_Qa + cost_Quf + cost_Qaf + cost_R
+        return total, cost_Qu, cost_Quf, cost_Qa, cost_Qaf, cost_R
 
     # ------------------------------------------------------------------
     def _build_problem(self, tv: TvLinearization, x_trj):
@@ -326,8 +359,8 @@ class IrsMpc:
                 fwd_step, (x_trj[0], u_prev0),
                 (gains.K, z_ref, u_ref, lb, ub))
             x_new = jnp.concatenate([x_trj[0][None], xs], axis=0)
-            total, cx, cxf, cu = self.eval_cost(x_new, us)
-            return x_new, us, jnp.stack([total, cx, cxf, cu])
+            channels = self.eval_cost(x_new, us)
+            return x_new, us, jnp.stack(channels)
 
         alphas = jnp.asarray(p.line_search_alphas, jnp.float32)
         xs_all, us_all, costs_all = jax.vmap(rollout)(alphas)
@@ -335,7 +368,7 @@ class IrsMpc:
                            costs_all[:, 0])
         best = jnp.argmin(totals)
         x_new, us, cvec = xs_all[best], us_all[best], costs_all[best]
-        return x_new, us, key, (cvec[0], cvec[1], cvec[2], cvec[3])
+        return x_new, us, key, cvec
 
     # ------------------------------------------------------------------
     def local_descent(self, x_trj, u_trj):
@@ -351,10 +384,10 @@ class IrsMpc:
         this runs exactly ``max_iterations`` descents."""
         for _ in range(max_iterations):
             t0 = time.time()
-            x_new, u_new, self.key, (total, cx, cxf, cu) = self._iteration_jit(
+            x_new, u_new, self.key, cvec = self._iteration_jit(
                 self.x_trj, self.u_trj, self.key,
                 jnp.asarray(self.iter, jnp.float32))
-            total = float(total)
+            total, c_qu, c_quf, c_qa, c_qaf, c_r = [float(v) for v in cvec]
             wall = time.time() - t0
             if verbose:
                 print(f"Iteration: {self.iter:02d} || Current Cost: "
@@ -365,8 +398,9 @@ class IrsMpc:
             self.u_trj_lst.append(np.asarray(u_new))
             self.cost_lst.append(total)
             self.stats_lst.append(IterationStats(
-                cost=total, cost_x=float(cx), cost_x_final=float(cxf),
-                cost_u=float(cu), wall_time=wall))
+                cost=total, cost_Qu=c_qu, cost_Qu_final=c_quf,
+                cost_Qa=c_qa, cost_Qa_final=c_qaf, cost_R=c_r,
+                wall_time=wall))
 
             if total < self.cost_best:
                 self.cost_best = total

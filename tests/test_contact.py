@@ -1,0 +1,230 @@
+"""Contact engine tests: QP layer vs exact active-set oracle, geometry
+primitives, quasistatic physics sanities, and end-to-end contact solves.
+
+Formalizes the reference's informal cross-checks (python-sim vs C++-sim
+gradient comparison, ``run_planar_hand.py:93-107``; bundle-vs-exact gradient
+studies, ``box_pivoting_bundle.py``)."""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irs_mpc_tpu.models.contact import geometry as geom
+from irs_mpc_tpu.models.contact.qp import solve_qp
+from irs_mpc_tpu.models.contact.systems import (make_box_pivoting,
+                                                make_box_pushing,
+                                                make_carrots,
+                                                make_planar_hand,
+                                                make_plate_pickup)
+
+
+def _qp_oracle(P, q, C, d):
+    """Exact QP solution by active-set enumeration (f64)."""
+    n, m = C.shape[1], C.shape[0]
+    best, bestval = None, np.inf
+    for r in range(m + 1):
+        for S in itertools.combinations(range(m), r):
+            S = list(S)
+            if r:
+                KKT = np.block([[P, C[S].T], [C[S], np.zeros((r, r))]])
+                rhs = np.concatenate([-q, d[S]])
+            else:
+                KKT, rhs = P, -q
+            try:
+                sol = np.linalg.solve(KKT, rhs)
+            except np.linalg.LinAlgError:
+                continue
+            x, lam = sol[:n], sol[n:]
+            if np.all(lam >= -1e-9) and np.all(C @ x - d <= 1e-7):
+                val = 0.5 * x @ P @ x + q @ x
+                if val < bestval:
+                    bestval, best = val, x
+    return best
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_qp_matches_active_set_oracle(seed):
+    rng = np.random.RandomState(seed)
+    n, m = 4, 6
+    A = rng.randn(n, n)
+    P = A @ A.T + np.eye(n)
+    q = rng.randn(n)
+    C = rng.randn(m, n)
+    d = C @ rng.randn(n) * 0.3 + rng.rand(m) * 0.5
+    x = solve_qp(jnp.asarray(P, jnp.float32), jnp.asarray(q, jnp.float32),
+                 jnp.asarray(C, jnp.float32), jnp.asarray(d, jnp.float32), 40)
+    xo = _qp_oracle(P, q, C, d)
+    np.testing.assert_allclose(np.asarray(x), xo, atol=1e-4)
+
+
+def test_qp_gradient_vs_finite_difference():
+    rng = np.random.RandomState(42)
+    P = jnp.eye(3)
+    qv = jnp.asarray([1., -2., 0.5])
+    C = jnp.asarray(rng.randn(4, 3), jnp.float32)
+    d = jnp.asarray([0.5, 0.3, -0.1, 1.0], jnp.float32)
+    f = lambda qq: solve_qp(P, qq, C, d, 40)
+    J = jax.jacfwd(f)(qv)
+    eps = 1e-2
+    Jfd = np.stack([
+        (np.asarray(f(qv.at[i].add(eps))) -
+         np.asarray(f(qv.at[i].add(-eps)))) / (2 * eps)
+        for i in range(3)], 1)
+    np.testing.assert_allclose(np.asarray(J), Jfd, atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+def test_circle_circle():
+    phi, p, n = geom.circle_circle(jnp.array([0., 0.]), 1.0,
+                                   jnp.array([3., 0.]), 1.0)
+    assert abs(float(phi) - 1.0) < 1e-6
+    np.testing.assert_allclose(n, [1., 0.], atol=1e-6)
+
+
+def test_circle_box_outside_and_inside():
+    # Outside, right face.
+    phi, p, n = geom.circle_box(jnp.array([2., 0.]), 0.5,
+                                jnp.array([0., 0.]), (1., 1.), 0.0)
+    assert abs(float(phi) - 0.5) < 1e-6
+    np.testing.assert_allclose(n, [1., 0.], atol=1e-6)
+    # Inside: nearest face pushout, negative phi.
+    phi, p, n = geom.circle_box(jnp.array([0.8, 0.]), 0.1,
+                                jnp.array([0., 0.]), (1., 1.), 0.0)
+    assert float(phi) < 0
+    np.testing.assert_allclose(n, [1., 0.], atol=1e-6)
+    # Rotated box: 45 degrees.  The circle center at (2,2) lies along the
+    # rotated box's local +x axis, so in box frame it sits at (2*sqrt(2), 0)
+    # and the face is at 1: phi = 2*sqrt(2) - 1 - r.
+    phi, _, n = geom.circle_box(jnp.array([2., 2.]), 0.1,
+                                jnp.array([0., 0.]), (1., 1.),
+                                jnp.pi / 4)
+    assert abs(float(phi) - (2 * np.sqrt(2) - 1 - 0.1)) < 1e-5
+
+
+def test_capsule_circle():
+    phi, p, n = geom.capsule_circle(jnp.array([-1., 0.]), jnp.array([1., 0.]),
+                                    0.1, jnp.array([0.5, 1.0]), 0.2)
+    assert abs(float(phi) - 0.7) < 1e-6
+    np.testing.assert_allclose(n, [0., 1.], atol=1e-6)
+
+
+def test_free_body_point_jacobian_rotation():
+    body = geom.FreeBody2D(idx_pos=(0, 1), idx_rot=2,
+                           shapes=(geom.Circle((0., 0.), 0.5),))
+    q = jnp.array([1.0, 2.0, 0.3])
+    p = jnp.array([1.5, 2.0])   # on the +y side of the center
+    J = body.point_jacobian(q, p)
+    # Rotation moves this point in +z (perp of (0.5, 0)).
+    np.testing.assert_allclose(J[:, 2], [0.0, 0.5], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# quasistatic physics
+# ---------------------------------------------------------------------------
+
+def test_box_pushing_statics_and_push():
+    m = make_box_pushing()
+    x0 = jnp.asarray([0., 0.5, 0., 0., -0.2], jnp.float32)
+    u_hold = x0[3:5]
+    x = x0
+    for _ in range(3):
+        x = m.step(x, u_hold)
+    np.testing.assert_allclose(x, x0, atol=1e-3)  # nothing moves, no gravity
+    # Push the hand up into the box: box must move up.
+    x = x0
+    for i in range(10):
+        x = m.step(x, jnp.asarray([0., -0.2 + 0.05 * (i + 1)]))
+    assert float(x[1]) > 0.55
+    # Hand cannot penetrate the box: gap >= 0 (tolerance for QP accuracy).
+    gap = float(x[1] - 0.5 - 0.1 - x[4])   # box bottom - hand top
+    assert gap > -2e-3
+
+
+def test_planar_hand_ball_settles_in_grasp():
+    ph = make_planar_hand()
+    x0 = jnp.asarray([0., 0.35, 0., -np.pi / 4, -np.pi / 4,
+                      np.pi / 4, np.pi / 4], jnp.float32)
+    u_hold = x0[np.asarray(ph.indices_u_into_x())]
+    x = x0
+    for _ in range(25):
+        x = ph.step(x, u_hold)
+    # Ball comes to rest supported by the arms (does not fall through).
+    assert 0.3 < float(x[1]) < 0.6
+    # And the config is an equilibrium: one more step barely moves it.
+    x2 = ph.step(x, u_hold)
+    np.testing.assert_allclose(x2, x, atol=2e-3)
+
+
+def test_quasistatic_jacobian_finite_and_sensible():
+    m = make_box_pushing()
+    sys = m.system()
+    x0 = jnp.asarray([0., 0.5, 0., 0., -0.12], jnp.float32)  # near contact
+    u = x0[3:5]
+    J = sys.jacobian_xu(x0, u)
+    assert J.shape == (5, 7)
+    assert bool(jnp.all(jnp.isfinite(J)))
+    # Hand dofs track their command stiffly: d(hand)/d(u) ~ I.
+    np.testing.assert_allclose(J[3:5, 5:7], np.eye(2), atol=0.1)
+
+
+def test_gravity_free_fall():
+    """Unactuated body in free space falls h^2 * g per step (quasi-dynamic)."""
+    from irs_mpc_tpu.models.contact.quasistatic import (ModelInstance,
+                                                        QuasistaticModel)
+    ball = geom.FreeBody2D(idx_pos=(0, 1), idx_rot=None,
+                           shapes=(geom.Circle((0., 0.), 0.1),))
+    m = QuasistaticModel(
+        name="fall", h=0.1, nq=2,
+        models=(ModelInstance("ball", (0, 1), actuated=False,
+                              mass=(1.0, 1.0)),),
+        bodies=(ball,), pairs=(), gravity=(0.0, -10.0))
+    x = jnp.asarray([0., 1.0])
+    x1 = m.step(x, jnp.zeros(0))
+    np.testing.assert_allclose(x1, [0.0, 1.0 - 0.01 * 10], atol=1e-5)
+
+
+def test_all_contact_systems_build_and_step():
+    for maker, nx, nu in [(make_planar_hand, 7, 4), (make_box_pushing, 5, 2),
+                          (make_box_pivoting, 5, 2),
+                          (make_plate_pickup, 8, 5)]:
+        m = maker()
+        assert m.dim_x == nx and m.dim_u == nu
+        x = jnp.zeros(nx).at[1].set(1.0)
+        u = jnp.zeros(nu)
+        out = m.step(x, u)
+        assert out.shape == (nx,)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_carrots_builds_and_steps():
+    m = make_carrots(n_pieces=20)
+    assert m.dim_x == 45 and m.dim_u == 5
+    rng = np.random.RandomState(0)
+    x = jnp.zeros(45)
+    # Gripper above, pieces scattered on the ground.
+    x = x.at[0].set(0.0).at[1].set(0.6)
+    for k in range(20):
+        x = x.at[5 + 2 * k].set(float(rng.uniform(-0.5, 0.5)))
+        x = x.at[6 + 2 * k].set(float(0.05 + 0.1 * rng.rand()))
+    out = m.step(x, x[np.asarray(m.indices_u_into_x())])
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # Pieces must not sink below the ground by more than QP tolerance.
+    piece_z = np.asarray(out)[6::2]
+    assert np.all(piece_z > 0.05 - 2e-2)
+
+
+def test_planar_hand_irs_mpc_descends():
+    """End-to-end contact iRS-MPC (small budget for CI speed)."""
+    import sys as _s
+    from pathlib import Path
+    _s.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from examples.planar_hand import build_solver
+    solver, _ = build_solver(num_samples=20, T=20)
+    c0 = solver.cost
+    solver.iterate(4, verbose=False)
+    assert solver.cost_best < 0.3 * c0
