@@ -1,0 +1,66 @@
+"""Box pivoting: push a box so it pivots against a wall under gravity.
+
+Mirrors ``/root/reference/examples/box_pivoting/run_box_pivoting.py``:
+very stiff pusher (Kp=50000, box_pivoting_setup.py:10), first-order or
+zero-order smoothed gradients, trust-region input bounds.
+"""
+from common import report
+
+import numpy as np
+
+from irs_mpc_tpu import IrsMpc, IrsMpcParams, SmoothingConfig
+from irs_mpc_tpu.models.contact.systems import make_box_pivoting
+
+
+def build_solver(gradient_mode="zero_order_B", num_samples=100, T=40):
+    model = make_box_pivoting(h=0.05)
+    system = model.system()
+    idx_u = model.indices_u_into_x()
+
+    # Box resting on the ground against the wall (wall at y=1, box half 0.5).
+    # Hand starts just touching the box's left face, high up, so pushing
+    # right both slides the box into the wall and tips it clockwise.
+    q0 = {"box": np.array([0.45, 0.5, 0.0]), "hand": np.array([-0.17, 0.8])}
+    x0 = model.get_x_from_q_dict(q0)
+    # Goal: pivot -30 degrees about the bottom-right corner at the wall:
+    # center = (0.95, 0) + R(-pi/6) (-0.5, 0.5) = (0.767, 0.683).
+    xd_dict = {"box": np.array([0.767, 0.683, -np.pi / 6]),
+               "hand": q0["hand"]}
+    xd = model.get_x_from_q_dict(xd_dict)
+
+    Q_dict = {"box": np.array([1.0, 1.0, 20.0]),
+              "hand": np.array([1e-4, 1e-4])}
+    Qd_dict = {k: v * 100 for k, v in Q_dict.items()}
+    R_dict = {"hand": np.array([0.5, 0.5])}
+
+    params = IrsMpcParams(
+        Q=model.get_Q_from_Q_dict(Q_dict),
+        Qd=model.get_Q_from_Q_dict(Qd_dict),
+        R=model.get_R_from_R_dict(R_dict),
+        x0=x0, xd_trj=np.tile(xd, (T + 1, 1)),
+        u_trj_init=np.tile(x0[idx_u], (T, 1)),
+        u_bounds_abs=np.array([-np.ones(2) * 0.6 * model.h,
+                               np.ones(2) * 0.6 * model.h]),
+        bounds_trust_region=True,
+        indices_u_into_x=idx_u,
+        unactuated_indices=np.array([0, 1, 2]),
+        gradient_mode=gradient_mode,
+        decouple_AB=True,
+        smoothing=SmoothingConfig(
+            num_samples=num_samples, std_u=0.1, std_x=1e-3,
+            decay=lambda it: 1.0 / it ** 0.8, decay_std_x=False),
+        admm_iters=30,
+        report_final_cost_with_Q=False,
+    )
+    return IrsMpc(system, params), model
+
+
+def main():
+    solver, model = build_solver()
+    solver.iterate(10, verbose=False)
+    report(solver, "box_pivoting_zero_order")
+    print("box final:", solver.x_trj_best[-1][:3])
+
+
+if __name__ == "__main__":
+    main()

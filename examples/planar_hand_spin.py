@@ -1,0 +1,42 @@
+"""Planar hand 'spin' task: rotate the ball a full half-turn in place.
+
+Mirrors ``/root/reference/examples/planar_hand/run_planar_hand_spin.py``
+(same setup as run_planar_hand but the goal is dominated by rotation).
+"""
+from common import report
+
+import numpy as np
+
+from planar_hand import build_solver as _build_base
+
+from irs_mpc_tpu import IrsMpc, IrsMpcParams, SmoothingConfig
+from irs_mpc_tpu.models.contact.systems import make_planar_hand
+
+
+def build_solver(gradient_mode="zero_order_B", num_samples=50, T=30):
+    solver, model = _build_base(gradient_mode=gradient_mode,
+                                num_samples=num_samples, T=T)
+    # Override the goal: pure in-place rotation by pi/2.
+    q0 = {"sphere": np.array([0.0, 0.35, 0.0]),
+          "arm_left": np.array([-np.pi / 4, -np.pi / 4]),
+          "arm_right": np.array([np.pi / 4, np.pi / 4])}
+    xd_dict = {"sphere": q0["sphere"] + np.array([0.0, 0.0, np.pi / 2]),
+               "arm_left": q0["arm_left"], "arm_right": q0["arm_right"]}
+    xd = model.get_x_from_q_dict(xd_dict)
+    import jax.numpy as jnp
+    solver.xd_trj = jnp.asarray(np.tile(xd, (T + 1, 1)), jnp.float32)
+    solver.cost = float(solver.eval_cost(solver.x_trj, solver.u_trj)[0])
+    solver.cost_lst = [solver.cost]
+    solver.cost_best = solver.cost
+    return solver, model
+
+
+def main():
+    solver, model = build_solver()
+    solver.iterate(12, verbose=False)
+    report(solver, "planar_hand_spin")
+    print("ball final:", solver.x_trj_best[-1][:3], "(goal theta pi/2)")
+
+
+if __name__ == "__main__":
+    main()

@@ -127,7 +127,8 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
                       n_phys: int,
                       idx_w: Optional[Array] = None,
                       rho: float = 1.0,
-                      iters: int = 60) -> AdmmSolution:
+                      iters: int = 60,
+                      parallel: bool = False) -> AdmmSolution:
     """Solve the boxed TV-LQR QP.  ``prob`` may be Δu-augmented (then
     ``idx_w`` points at the prev-input block and ``n_phys`` < n).
 
@@ -148,7 +149,7 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
                       du=jnp.zeros((T, m), f32))
 
     # Initialize z at the unconstrained solution projected onto the boxes.
-    x0_trj, u0_trj, gains0 = lqr_ops.lqr_solve(prob)
+    x0_trj, u0_trj, gains0 = lqr_ops.lqr_solve(prob, parallel=parallel)
     s0 = _stage_values(prob, x0_trj, u0_trj, n_phys, idx_w)
     z0 = _SVals(
         x=clip_or(s0.x, bounds.x, s0.x),
@@ -160,7 +161,7 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
     def sweep(carry, _):
         z, y, _, _ = carry
         pen = _penalized_problem(prob, bounds, z, y, rho, n_phys, idx_w)
-        x_trj, u_trj, gains = lqr_ops.lqr_solve(pen)
+        x_trj, u_trj, gains = lqr_ops.lqr_solve(pen, parallel=parallel)
         s = _stage_values(prob, x_trj, u_trj, n_phys, idx_w)
         sy = jax.tree.map(lambda a, b: a + b, s, y)
         z_new = _SVals(

@@ -107,6 +107,8 @@ class CrossEntropyMethod:
 
         with jax.default_matmul_precision("highest"):
             costs = jax.vmap(eval_one)(cand)
+        # Diverged rollouts (NaN/inf cost) must never become elites.
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         # lowest-cost elites
         _, elite_idx = jax.lax.top_k(-costs, p.n_elite)
         elites = cand[elite_idx]

@@ -311,12 +311,22 @@ class IrsMpc:
             idx_w = (jnp.arange(n, n + m) if self.idx_u is not None else None)
             sol = admm_ops.solve_boxed_tvlqr(
                 prob, self._box_bounds(x_trj), n_phys=n, idx_w=idx_w,
-                rho=p.admm_rho, iters=p.admm_iters)
+                rho=p.admm_rho, iters=p.admm_iters,
+                parallel=p.parallel_riccati)
             gains, z_plan, u_plan = sol.gains, sol.x_trj, sol.u_trj
         else:
             gains = (lqr_ops.riccati_backward_assoc(prob) if p.parallel_riccati
                      else lqr_ops.riccati_backward(prob))
             z_plan, u_plan = lqr_ops.lqr_rollout_linear(prob, gains)
+
+        # Sanitize: if a degenerate estimate produced non-finite gains or
+        # plans, zero them so the alpha=0 line-search branch still exactly
+        # reproduces the nominal trajectory (NaN * 0 would otherwise
+        # poison every branch).
+        gains = gains._replace(K=jnp.nan_to_num(gains.K),
+                               k=jnp.nan_to_num(gains.k))
+        z_plan = jnp.nan_to_num(z_plan)
+        u_plan = jnp.nan_to_num(u_plan)
 
         # Forward pass: roll the TRUE nonlinear dynamics under affine feedback
         # around the planned trajectory,

@@ -1,0 +1,94 @@
+"""Unified config layer.
+
+The reference configures experiments through per-example python modules of
+globals consumed via ``from X_setup import *`` by both runner and workers
+(``planar_hand_setup.py:8-36``) — a weakness its own TODO acknowledges
+("make workers system-agnostic. Maybe passing in a yml file",
+``planar_hand_worker.py:14-15``).  Here: one dataclass serializable to/from
+JSON or YAML that fully determines a solve.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """Everything needed to reproduce a solve (system + algorithm + budget)."""
+    system: str = "pendulum"              # registry name
+    h: float = 0.1
+    T: int = 100
+    gradient_mode: str = "zero_order"
+    num_samples: int = 100
+    std_u: float = 0.3
+    std_x: float = 1e-3
+    decay_power: float = 0.8
+    num_iters: int = 10
+    seed: int = 0
+    decouple_AB: bool = False
+    use_delta_u_cost: bool = False
+    admm_iters: int = 30
+    parallel_riccati: bool = False
+    mesh_sample_shards: int = 1
+    mesh_knot_shards: int = 1
+
+    def to_json(self, path) -> Path:
+        path = Path(path)
+        path.write_text(json.dumps(dataclasses.asdict(self), indent=2))
+        return path
+
+    @classmethod
+    def from_json(cls, path) -> "ExperimentConfig":
+        return cls(**json.loads(Path(path).read_text()))
+
+    @classmethod
+    def from_yaml(cls, path) -> "ExperimentConfig":
+        try:
+            import yaml
+        except ImportError as e:   # pragma: no cover
+            raise RuntimeError("pyyaml not available; use from_json") from e
+        return cls(**yaml.safe_load(Path(path).read_text()))
+
+
+SYSTEM_REGISTRY = {}
+
+
+def register_system(name: str):
+    def deco(fn):
+        SYSTEM_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def make_system(name: str, h: float):
+    """Build a system by registry name (analytic + contact families)."""
+    if not SYSTEM_REGISTRY:
+        _populate_registry()
+    if name not in SYSTEM_REGISTRY:
+        raise KeyError(f"unknown system {name!r}; known: "
+                       f"{sorted(SYSTEM_REGISTRY)}")
+    return SYSTEM_REGISTRY[name](h)
+
+
+def _populate_registry():
+    from ..models.bicycle import make_bicycle
+    from ..models.pendulum import make_pendulum
+    from ..models.quadrotor import make_quadrotor
+    from ..models.three_cart import make_three_cart
+    from ..models.contact import systems as contact_systems
+    SYSTEM_REGISTRY.update({
+        "pendulum": make_pendulum,
+        "bicycle": make_bicycle,
+        "quadrotor": make_quadrotor,
+        "three_cart": make_three_cart,
+        "planar_hand": lambda h: contact_systems.make_planar_hand(h).system(),
+        "box_pushing": lambda h: contact_systems.make_box_pushing(h).system(),
+        "box_pivoting":
+            lambda h: contact_systems.make_box_pivoting(h).system(),
+        "plate_pickup":
+            lambda h: contact_systems.make_plate_pickup(h).system(),
+        "carrots": lambda h: contact_systems.make_carrots(h=h).system(),
+    })

@@ -228,3 +228,53 @@ def test_planar_hand_irs_mpc_descends():
     c0 = solver.cost
     solver.iterate(4, verbose=False)
     assert solver.cost_best < 0.3 * c0
+
+
+# ---------------------------------------------------------------------------
+# second-order (MBP-equivalent) dynamics
+# ---------------------------------------------------------------------------
+
+def test_mbp2d_settles_and_differentiates():
+    from irs_mpc_tpu.models.contact.mbp2d import Mbp2DModel
+    base = make_planar_hand(h=0.01)
+    mbp = Mbp2DModel(base=base, actuated_mass=(0.5, 0.3, 0.5, 0.3),
+                     control_mode="position", damping=0.5)
+    sys_ = mbp.system()
+    assert sys_.dim_x == 14 and sys_.dim_u == 4
+    # Ball starts clear of the arms (starting in penetration would impart a
+    # large pushout velocity — correct Anitescu behavior, wrong test intent).
+    q0 = np.array([0., 0.45, 0., -np.pi / 4, -np.pi / 4,
+                   np.pi / 4, np.pi / 4], np.float32)
+    x = jnp.concatenate([jnp.asarray(q0), jnp.zeros(7)])
+    u = jnp.asarray(q0[[3, 4, 5, 6]])
+    for _ in range(150):
+        x = sys_.step(x, u)
+    # Ball supported by the arms; velocities decayed.
+    assert 0.3 < float(x[1]) < 0.6
+    assert float(jnp.max(jnp.abs(x[7:]))) < 1.0
+    J = sys_.jacobian_xu(x, u)
+    assert bool(jnp.all(jnp.isfinite(J)))
+
+
+def test_mbp2d_torque_mode_gravity():
+    """Torque mode: zero torque on a 1-dof actuated mass under gravity-free
+    config -> no motion; constant torque accelerates it."""
+    from irs_mpc_tpu.models.contact.mbp2d import Mbp2DModel
+    from irs_mpc_tpu.models.contact.quasistatic import (ModelInstance,
+                                                        QuasistaticModel)
+    body = geom.FreeBody2D(idx_pos=(0, 1), idx_rot=None,
+                           shapes=(geom.Circle((0., 0.), 0.1),))
+    base = QuasistaticModel(
+        name="m", h=0.01, nq=2,
+        models=(ModelInstance("m", (0, 1), actuated=True,
+                              stiffness=(10., 10.)),),
+        bodies=(body,), pairs=(), gravity=(0.0, 0.0))
+    mbp = Mbp2DModel(base=base, actuated_mass=(1.0, 1.0), damping=0.0,
+                     control_mode="torque")
+    sys_ = mbp.system()
+    x = jnp.zeros(4)
+    x1 = sys_.step(x, jnp.zeros(2))
+    np.testing.assert_allclose(x1, np.zeros(4), atol=1e-7)
+    # Constant force 1 N on y: after one step v = h * F/m.
+    x2 = sys_.step(x, jnp.asarray([1.0, 0.0]))
+    np.testing.assert_allclose(float(x2[2]), 0.01, atol=1e-6)

@@ -1,0 +1,78 @@
+"""Utility subsystem tests: checkpoint/resume, config, timers, viz."""
+import numpy as np
+import pytest
+
+from irs_mpc_tpu import IrsMpc, IrsMpcParams, SmoothingConfig, make_pendulum
+from irs_mpc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from irs_mpc_tpu.utils.config import ExperimentConfig, make_system
+from irs_mpc_tpu.utils.timing import PhaseTimer
+
+
+def _solver(T=50):
+    return IrsMpc(make_pendulum(0.05), IrsMpcParams(
+        Q=np.diag([1., 1.]), Qd=np.diag([20., 20.]), R=np.diag([1.]),
+        x0=np.zeros(2), xd_trj=np.tile([np.pi, 0.], (T + 1, 1)),
+        u_trj_init=np.tile([0.1], (T, 1)),
+        gradient_mode="zero_order",
+        smoothing=SmoothingConfig(num_samples=200, std_x=1.0, std_u=1.0)))
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    """Resuming from a checkpoint must reproduce the uninterrupted run
+    exactly (key + iteration are part of the state)."""
+    a = _solver()
+    a.iterate(5, verbose=False)
+
+    b = _solver()
+    b.iterate(2, verbose=False)
+    ckpt = save_checkpoint(tmp_path / "ck.npz", b)
+    c = _solver()
+    load_checkpoint(ckpt, c)
+    assert c.iter == b.iter
+    c.iterate(3, verbose=False)
+    np.testing.assert_array_equal(np.asarray(c.u_trj), np.asarray(a.u_trj))
+    assert abs(c.cost - a.cost) < 1e-6
+
+
+def test_experiment_config_roundtrip(tmp_path):
+    cfg = ExperimentConfig(system="bicycle", T=42, gradient_mode="exact")
+    p = cfg.to_json(tmp_path / "cfg.json")
+    cfg2 = ExperimentConfig.from_json(p)
+    assert cfg2 == cfg
+
+
+def test_system_registry():
+    sys = make_system("pendulum", 0.05)
+    assert sys.dim_x == 2
+    sys = make_system("box_pushing", 0.1)
+    assert sys.dim_x == 5
+    with pytest.raises(KeyError):
+        make_system("nope", 0.1)
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.report()
+
+
+def test_viz_smoke(tmp_path):
+    from irs_mpc_tpu.utils.viz import plot_cost_curves, plot_phase_trajectories
+    p = plot_cost_curves({"all": [3, 2, 1]}, tmp_path / "c.png")
+    assert p.exists()
+    p2 = plot_phase_trajectories([np.random.randn(10, 2) for _ in range(3)],
+                                 tmp_path / "ph.png")
+    assert p2.exists()
+
+
+def test_contact_animation_smoke(tmp_path):
+    from irs_mpc_tpu.models.contact.systems import make_box_pushing
+    from irs_mpc_tpu.utils.viz import animate_contact_trajectory
+    m = make_box_pushing()
+    x_trj = np.tile(np.array([0., 0.5, 0., 0., -0.2]), (3, 1))
+    p = animate_contact_trajectory(m, x_trj, tmp_path / "a.gif", fps=2)
+    assert p.exists()
