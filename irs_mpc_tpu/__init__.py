@@ -15,12 +15,22 @@ from .models.quadrotor import make_quadrotor
 from .models.three_cart import make_three_cart
 from .ops.estimators import SmoothingConfig, estimate_tv_matrices
 from .ops import lqr
-from .solvers.irs_mpc import IrsMpc, IrsMpcParams
+from .ops.solvers import get_solver
+from .solvers.irs_mpc import IrsMpc, IrsMpcParams, IterationStats
+from .solvers.cem import CemParams, CrossEntropyMethod
 
 __version__ = "0.1.0"
 
 __all__ = [
     "System", "make_pendulum", "make_bicycle", "make_quadrotor",
     "make_three_cart", "SmoothingConfig", "estimate_tv_matrices",
-    "lqr", "IrsMpc", "IrsMpcParams",
+    "lqr", "get_solver", "IrsMpc", "IrsMpcParams", "IterationStats",
+    "CemParams", "CrossEntropyMethod",
 ]
+
+
+def contact_systems():
+    """Convenience accessor for the contact-system factory module
+    (analogue of the reference's ``irs_lqr/all.py`` star re-exports)."""
+    from .models.contact import systems
+    return systems

@@ -19,6 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...ops.linalg import solve_spd
+
 Array = jax.Array
 
 
@@ -33,7 +35,7 @@ def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
 
     # Start strictly feasible in (s, lam); x from the regularized
     # unconstrained minimum.
-    x0 = jnp.linalg.solve(P + 1e-8 * In, -q)
+    x0 = solve_spd(P + 1e-8 * In, -q)
     slack0 = d - C @ x0
     shift = jnp.maximum(0.0, -jnp.min(slack0)) + 1.0
     s0 = slack0 + shift
@@ -56,7 +58,7 @@ def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
         w = jnp.minimum(lam / s_safe, w_cap)          # (m,)
         H = P + (C.T * w) @ C
         rhs = -(r_d + C.T @ (w * r_p - r_c / s_safe))
-        dx = jnp.linalg.solve(H + 1e-8 * In, rhs)
+        dx = solve_spd(H + 1e-8 * In, rhs)
         ds = -r_p - C @ dx
         dlam = (-r_c - lam * ds) / s_safe
 
@@ -96,7 +98,7 @@ def _solve_qp_jvp(iters, primals, tangents):
     n = q.shape[0]
     H = P + (C.T * D) @ C + 1e-10 * jnp.eye(n, dtype=P.dtype)
     rhs = -(dP @ x + dq + dC.T @ lam) + C.T @ (D * (dd - dC @ x))
-    dx = jnp.linalg.solve(H, rhs)
+    dx = solve_spd(H, rhs)
     return x, dx
 
 

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.base import System
+from .linalg import solve_spd
 
 Array = jax.Array
 
@@ -97,7 +98,7 @@ def _fit_lstsq(S: Array, D: Array, damp: float = 0.0) -> Array:
     M = S.T @ D
     # Tiny ridge for rank-deficient unregularized fits (lstsq fallback).
     eps = 1e-9 * jnp.trace(G) / p + 1e-12
-    theta = jnp.linalg.solve(G + eps * jnp.eye(p, dtype=S.dtype), M)
+    theta = solve_spd(G + eps * jnp.eye(p, dtype=S.dtype), M)
     return theta.T
 
 
@@ -106,7 +107,7 @@ def fit_from_moments(G: Array, M: Array, damp: float = 0.0) -> Array:
     p = G.shape[0]
     Gd = G + (damp * damp) * jnp.eye(p, dtype=G.dtype)
     eps = 1e-9 * jnp.trace(Gd) / p + 1e-12
-    return jnp.linalg.solve(Gd + eps * jnp.eye(p, dtype=G.dtype), M).T
+    return solve_spd(Gd + eps * jnp.eye(p, dtype=G.dtype), M).T
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from .linalg import solve_spd
+
 Array = jax.Array
 
 
@@ -79,7 +81,7 @@ def riccati_backward(prob: LqrProblem) -> LqrGains:
         G = N.T + B.T @ (P @ A)
         g = r + B.T @ (P @ c + p)
         # Solve H [K k] = [G g] in one factorization.
-        Kk = jnp.linalg.solve(H, jnp.concatenate([G, g[:, None]], axis=1))
+        Kk = solve_spd(H, jnp.concatenate([G, g[:, None]], axis=1))
         K, k = Kk[:, :-1], Kk[:, -1]
         P_new = Q + A.T @ (P @ A) - G.T @ K
         # Symmetrize for numerical hygiene.
@@ -185,7 +187,7 @@ def riccati_backward_assoc(prob: LqrProblem) -> LqrGains:
         H = R + B.T @ (P1 @ B)
         G = N.T + B.T @ (P1 @ A)
         g = r + B.T @ (P1 @ c + p1)
-        Kk = jnp.linalg.solve(H, jnp.concatenate([G, g[:, None]], axis=1))
+        Kk = solve_spd(H, jnp.concatenate([G, g[:, None]], axis=1))
         return Kk[:, :-1], Kk[:, -1]
 
     K, k = jax.vmap(gains)(prob.A, prob.B, prob.c, prob.R, prob.N, prob.r,

@@ -89,6 +89,10 @@ class IrsMpcParams:
     # The reference's evaluate_cost uses Q (not Qd) on the final state — a
     # quirk (irs_lqr.py:134-136).  Keep True to match its CSV baselines.
     report_final_cost_with_Q: bool = True
+    # Called after every accepted iteration with (iteration, x_trj, u_trj) —
+    # the analogue of publish_every_iteration's meshcat streaming
+    # (irs_lqr_quasistatic.py:368-369); use for live viz or checkpointing.
+    iteration_callback: Optional[Callable] = None
 
 
 @dataclasses.dataclass
@@ -416,6 +420,10 @@ class IrsMpc:
                 self.cost_best = total
                 self.x_trj_best = np.asarray(x_new)
                 self.u_trj_best = np.asarray(u_new)
+
+            if self.params.iteration_callback is not None:
+                self.params.iteration_callback(self.iter, np.asarray(x_new),
+                                               np.asarray(u_new))
 
             self.cost = total
             self.x_trj = x_new
