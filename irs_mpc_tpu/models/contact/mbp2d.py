@@ -80,8 +80,12 @@ class Mbp2DModel:
         q, v = x[:nq], x[nq:]
         M = self._mass_vector()
 
-        # Generalized forces.
+        # Generalized forces (spring/gravity/torque parts only; ALL viscous
+        # terms are handled implicitly below — explicit damping is unstable
+        # whenever (kd + damping) * h / m > 2, which stiff PD gains hit
+        # easily, e.g. Kp=500, kd=100, m=0.3, h=0.01).
         tau = jnp.zeros(nq)
+        visc = jnp.full(nq, self.damping)
         gz = jnp.asarray(base.gravity, jnp.float32)
         iu = 0
         for inst in base.models:
@@ -91,8 +95,8 @@ class Mbp2DModel:
                 if self.control_mode == "position":
                     kp = jnp.asarray(inst.stiffness, jnp.float32)
                     kd = self.kd_ratio * kp
-                    tau = tau.at[idx].add(
-                        kp * (u[iu:iu + nd] - q[idx]) - kd * v[idx])
+                    tau = tau.at[idx].add(kp * (u[iu:iu + nd] - q[idx]))
+                    visc = visc.at[idx].add(kd)
                 else:
                     tau = tau.at[idx].add(u[iu:iu + nd])
                 iu += nd
@@ -102,9 +106,10 @@ class Mbp2DModel:
                     mass = jnp.asarray(inst.mass, jnp.float32)
                     tau = tau.at[idx[0]].add(mass[0] * gz[0])
                     tau = tau.at[idx[1]].add(mass[1] * gz[1])
-        tau = tau - self.damping * v
 
-        v_free = v + h * tau / M
+        # Semi-implicit velocity update with implicit viscous damping:
+        #   M (v' - v)/h = tau - visc * v'   =>
+        v_free = (v + h * tau / M) / (1.0 + h * visc / M)
         G, phi = base.contact_rows(q)
         if G is None:
             v_next = v_free

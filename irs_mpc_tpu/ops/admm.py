@@ -128,7 +128,8 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
                       idx_w: Optional[Array] = None,
                       rho: float = 1.0,
                       iters: int = 60,
-                      parallel: bool = False) -> AdmmSolution:
+                      parallel: bool = False,
+                      backend: str = "scan") -> AdmmSolution:
     """Solve the boxed TV-LQR QP.  ``prob`` may be Δu-augmented (then
     ``idx_w`` points at the prev-input block and ``n_phys`` < n).
 
@@ -149,7 +150,7 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
                       du=jnp.zeros((T, m), f32))
 
     # Initialize z at the unconstrained solution projected onto the boxes.
-    x0_trj, u0_trj, gains0 = lqr_ops.lqr_solve(prob, parallel=parallel)
+    x0_trj, u0_trj, gains0 = lqr_ops.lqr_solve(prob, parallel=parallel, backend=backend)
     s0 = _stage_values(prob, x0_trj, u0_trj, n_phys, idx_w)
     z0 = _SVals(
         x=clip_or(s0.x, bounds.x, s0.x),
@@ -161,7 +162,7 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
     def sweep(carry, _):
         z, y, _, _ = carry
         pen = _penalized_problem(prob, bounds, z, y, rho, n_phys, idx_w)
-        x_trj, u_trj, gains = lqr_ops.lqr_solve(pen, parallel=parallel)
+        x_trj, u_trj, gains = lqr_ops.lqr_solve(pen, parallel=parallel, backend=backend)
         s = _stage_values(prob, x_trj, u_trj, n_phys, idx_w)
         sy = jax.tree.map(lambda a, b: a + b, s, y)
         z_new = _SVals(

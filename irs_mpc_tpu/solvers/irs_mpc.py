@@ -79,6 +79,7 @@ class IrsMpcParams:
     # trajectory, so the accepted iterate never regresses).
     line_search_alphas: tuple = (1.0, 0.6, 0.3, 0.1, 0.03, 0.0)
     parallel_riccati: bool = False       # associative-scan backward pass
+    riccati_backend: str = "scan"        # "scan" | "assoc" | "pallas"
     admm_iters: int = 60                 # boxed-QP iterations (resolve mode)
     admm_rho: float = 1.0
     seed: int = 0
@@ -291,6 +292,81 @@ class IrsMpc:
             x=bx(), u=bu(), dx=brel(p.x_bounds_rel, n),
             du=brel(p.u_bounds_rel, m) if self.idx_u is not None else None)
 
+    def _resolve_forward(self, prob, x_trj, u_trj):
+        """Exact receding-horizon forward pass: at every knot t, re-solve the
+        constrained QP over [t, T] from the actually-achieved state and keep
+        only u*[t] — the reference's semantics (irs_lqr.py:169-184,
+        irs_lqr_quasistatic.py:325-345), O(T) full-horizon ADMM solves.
+
+        Subproblems are realized as masked full-horizon problems: stages
+        s < t get identity dynamics (with the Δu prev-input block pinned to
+        x[idx_u]), zero cost, and infinite boxes, which makes the tail
+        [t, T] of the padded solve exactly the reference's shrunk-horizon
+        QP."""
+        p = self.params
+        sys = self.system
+        T, m = self.T, sys.dim_u
+        n = sys.dim_x
+        n_aug = prob.A.shape[1]
+        f32 = jnp.float32
+        eye_aug = jnp.eye(n_aug, dtype=f32)
+
+        # Identity-padding stage dynamics: x'=x; w' = x[idx_u] (Δu mode).
+        A_pad = eye_aug
+        if self.idx_u is not None:
+            A_pad = A_pad.at[n:, :].set(0.0)
+            A_pad = A_pad.at[jnp.arange(n, n_aug), self.idx_u].set(1.0)
+        R_pad = jnp.eye(m, dtype=f32) * 1e-4
+
+        bounds = self._box_bounds(x_trj)
+        big = jnp.asarray(3e4, f32)
+        idx_w = (jnp.arange(n, n_aug) if self.idx_u is not None else None)
+
+        def mask_bounds(b, t, time_len):
+            if b is None:
+                return None
+            keep = (jnp.arange(time_len) >= t)
+            if time_len == T + 1:
+                keep = keep.at[-1].set(True)
+            lb = jnp.where(keep[:, None], b[0], -big)
+            ub = jnp.where(keep[:, None], b[1], big)
+            return jnp.stack([lb, ub])
+
+        def knot(carry, t):
+            x_cur, u_prev = carry
+            mask_t = (jnp.arange(T) >= t).astype(f32)[:, None, None]
+            prob_t = prob._replace(
+                A=mask_t * prob.A + (1 - mask_t) * A_pad,
+                B=mask_t * prob.B,
+                c=mask_t[..., 0] * prob.c,
+                Q=mask_t * prob.Q,
+                R=mask_t * prob.R + (1 - mask_t) * R_pad,
+                N=mask_t * prob.N,
+                q=mask_t[..., 0] * prob.q,
+                r=mask_t[..., 0] * prob.r,
+                x0=(jnp.concatenate([x_cur, x_cur[self.idx_u]])
+                    if self.idx_u is not None else x_cur),
+            )
+            bounds_t = admm_ops.BoxBounds(
+                x=mask_bounds(bounds.x, t, T + 1),
+                u=mask_bounds(bounds.u, t, T),
+                dx=mask_bounds(bounds.dx, t, T),
+                du=mask_bounds(bounds.du, t, T))
+            sol = admm_ops.solve_boxed_tvlqr(
+                prob_t, bounds_t, n_phys=n, idx_w=idx_w,
+                rho=p.admm_rho, iters=p.admm_iters,
+                backend=p.riccati_backend)
+            u = jnp.nan_to_num(sol.u_trj[t])
+            x_next = sys.step(x_cur, u)
+            return (x_next, u), (x_next, u)
+
+        u_prev0 = (x_trj[0, self.idx_u] if self.idx_u is not None
+                   else jnp.zeros((m,), f32))
+        _, (xs, us) = jax.lax.scan(knot, (x_trj[0], u_prev0),
+                                   jnp.arange(T))
+        x_new = jnp.concatenate([x_trj[0][None], xs], axis=0)
+        return x_new, us
+
     def _iteration_impl(self, x_trj, u_trj, key, it):
         p = self.params
         sys = self.system
@@ -311,12 +387,24 @@ class IrsMpc:
         n, m = sys.dim_x, sys.dim_u
         n_aug = prob.A.shape[1]
 
+        if p.forward_mode == "resolve":
+            x_new, us = self._resolve_forward(prob, x_trj, u_trj)
+            channels = self.eval_cost(x_new, us)
+            # No line search in resolve mode (reference semantics); fall back
+            # to the nominal only on numerical failure.
+            bad = ~jnp.isfinite(channels[0])
+            nominal = self.eval_cost(x_trj, u_trj)
+            x_new = jnp.where(bad, x_trj, x_new)
+            us = jnp.where(bad, u_trj, us)
+            cvec = jnp.where(bad, jnp.stack(nominal), jnp.stack(channels))
+            return x_new, us, key, cvec
+
         if self._has_bounds():
             idx_w = (jnp.arange(n, n + m) if self.idx_u is not None else None)
             sol = admm_ops.solve_boxed_tvlqr(
                 prob, self._box_bounds(x_trj), n_phys=n, idx_w=idx_w,
                 rho=p.admm_rho, iters=p.admm_iters,
-                parallel=p.parallel_riccati)
+                parallel=p.parallel_riccati, backend=p.riccati_backend)
             gains, z_plan, u_plan = sol.gains, sol.x_trj, sol.u_trj
         else:
             gains = (lqr_ops.riccati_backward_assoc(prob) if p.parallel_riccati

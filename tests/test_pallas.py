@@ -1,0 +1,60 @@
+"""Pallas Riccati kernel vs the lax.scan reference implementation.
+
+On CPU CI the kernel runs under the Pallas TPU interpreter; on real TPU it
+compiles through Mosaic (exercised by bench/examples with
+riccati_backend="pallas")."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from irs_mpc_tpu.ops import lqr
+from irs_mpc_tpu.ops.pallas_riccati import riccati_backward_pallas
+
+
+def _problem(T=12, n=5, m=3, seed=0):
+    rng = np.random.RandomState(seed)
+    A = jnp.asarray(rng.randn(T, n, n) * 0.3 + np.eye(n), jnp.float32)
+    B = jnp.asarray(rng.randn(T, n, m) * 0.5, jnp.float32)
+    c = jnp.asarray(rng.randn(T, n) * 0.1, jnp.float32)
+    Q = jnp.asarray(np.diag(rng.rand(n) + 0.5), jnp.float32)
+    R = jnp.asarray(np.diag(rng.rand(m) + 0.5), jnp.float32)
+    x0 = jnp.asarray(rng.randn(n), jnp.float32)
+    xd = jnp.asarray(rng.randn(T + 1, n) * 0.5, jnp.float32)
+    return lqr.build_tracking_problem(A, B, c, Q, Q * 3, R, x0, xd)
+
+
+def _run_pallas(prob):
+    if jax.devices()[0].platform != "tpu":
+        with pltpu.force_tpu_interpret_mode():
+            return riccati_backward_pallas(prob)
+    return riccati_backward_pallas(prob)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_riccati_matches_scan(seed):
+    prob = _problem(seed=seed)
+    g_ref = lqr.riccati_backward(prob)
+    g_pal = _run_pallas(prob)
+    np.testing.assert_allclose(g_pal.K, g_ref.K, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(g_pal.k, g_ref.k, rtol=1e-2, atol=1e-2)
+
+
+def test_pallas_riccati_delta_u_problem():
+    """Cross-term (N != 0) path through the kernel."""
+    rng = np.random.RandomState(3)
+    T, n, m = 8, 4, 2
+    A = jnp.asarray(rng.randn(T, n, n) * 0.3 + np.eye(n), jnp.float32)
+    B = jnp.asarray(rng.randn(T, n, m) * 0.5, jnp.float32)
+    c = jnp.asarray(rng.randn(T, n) * 0.1, jnp.float32)
+    Q = jnp.asarray(np.diag(rng.rand(n) + 0.5), jnp.float32)
+    R = jnp.asarray(np.diag(rng.rand(m) + 0.5), jnp.float32)
+    x0 = jnp.asarray(rng.randn(n), jnp.float32)
+    xd = jnp.asarray(rng.randn(T + 1, n) * 0.5, jnp.float32)
+    prob = lqr.build_delta_u_problem(A, B, c, Q, Q * 3, R, x0, xd,
+                                     jnp.array([0, 2], jnp.int32))
+    g_ref = lqr.riccati_backward(prob)
+    g_pal = _run_pallas(prob)
+    np.testing.assert_allclose(g_pal.K, g_ref.K, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(g_pal.k, g_ref.k, rtol=1e-2, atol=1e-2)
