@@ -72,6 +72,11 @@ class IrsMpcParams:
     gradient_mode: str = "zero_order"
     smoothing: SmoothingConfig = dataclasses.field(default_factory=SmoothingConfig)
     decouple_AB: bool = False
+    # Optional cheaper surrogate dynamics used ONLY for the Monte-Carlo
+    # estimation sweep (e.g. a contact model with fewer QP iterations) —
+    # rollouts and cost evaluation always use the true system.  The sample
+    # targets are noisy by construction, so a looser solve loses nothing.
+    estimation_system: Optional[System] = None
 
     # Solve configuration.
     forward_mode: str = "feedback"       # "feedback" | "resolve"
@@ -79,7 +84,8 @@ class IrsMpcParams:
     # trajectory, so the accepted iterate never regresses).
     line_search_alphas: tuple = (1.0, 0.6, 0.3, 0.1, 0.03, 0.0)
     parallel_riccati: bool = False       # associative-scan backward pass
-    riccati_backend: str = "scan"        # "scan" | "assoc" | "pallas"
+    # "auto" = Pallas whole-recursion kernel on TPU, lax.scan elsewhere.
+    riccati_backend: str = "auto"        # "auto"|"scan"|"assoc"|"pallas"
     admm_iters: int = 60                 # boxed-QP iterations (resolve mode)
     admm_rho: float = 1.0
     seed: int = 0
@@ -145,6 +151,10 @@ class IrsMpc:
         self.cost_best = self.cost
         self.iter = 1
         self.start_time = time.time()
+
+        if p.riccati_backend == "auto":
+            p.riccati_backend = ("pallas" if jax.default_backend() == "tpu"
+                                 else "scan")
 
         self._iteration_jit = jax.jit(self._iteration)
 
@@ -372,13 +382,14 @@ class IrsMpc:
         sys = self.system
         key, k_est = jax.random.split(key)
 
+        est_sys = p.estimation_system or sys
         if p.mesh is not None:
             from ..parallel.sharded import sharded_estimate_tv_matrices
             tv = sharded_estimate_tv_matrices(
-                sys, p.gradient_mode, x_trj, u_trj, k_est, it, p.smoothing,
-                p.mesh)
+                est_sys, p.gradient_mode, x_trj, u_trj, k_est, it,
+                p.smoothing, p.mesh)
         else:
-            tv = estimate_tv_matrices(sys, p.gradient_mode, x_trj, u_trj,
+            tv = estimate_tv_matrices(est_sys, p.gradient_mode, x_trj, u_trj,
                                       k_est, it, p.smoothing)
         if p.decouple_AB:
             tv = decouple_AB(tv, self.idx_u, x_trj, u_trj, sys)

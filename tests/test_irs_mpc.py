@@ -152,3 +152,24 @@ def test_resolve_mode_respects_binding_bounds():
     s_fb = IrsMpc(make_pendulum(0.05), IrsMpcParams(**base))
     s_fb.iterate(8, verbose=False)
     assert abs(s.cost_best - s_fb.cost_best) / s_fb.cost_best < 0.2
+
+
+def test_estimation_surrogate_system():
+    """A cheaper estimation surrogate must not change the API or break
+    convergence (targets are Monte-Carlo noisy anyway)."""
+    import dataclasses as dc
+    T = 60
+    pend = make_pendulum(0.05)
+    coarse = dc.replace(pend, name="pendulum_coarse")  # stand-in surrogate
+    p = IrsMpcParams(
+        Q=np.diag([1., 1.]), Qd=np.diag([20., 20.]), R=np.diag([1.]),
+        x0=np.zeros(2), xd_trj=np.tile([np.pi, 0.], (T + 1, 1)),
+        u_trj_init=np.tile([0.1], (T, 1)),
+        gradient_mode="zero_order",
+        smoothing=SmoothingConfig(num_samples=300, std_x=1.0, std_u=1.0),
+        estimation_system=coarse)
+    s = IrsMpc(pend, p)
+    c0 = s.cost
+    s.iterate(6, verbose=False)
+    # T=60 pendulum converges to ~345 (the task optimum) from 566.
+    assert s.cost_best < 0.65 * c0

@@ -76,3 +76,12 @@ def test_contact_animation_smoke(tmp_path):
     x_trj = np.tile(np.array([0., 0.5, 0., 0., -0.2]), (3, 1))
     p = animate_contact_trajectory(m, x_trj, tmp_path / "a.gif", fps=2)
     assert p.exists()
+
+
+def test_solver_registry_aliases():
+    from irs_mpc_tpu import get_solver
+    assert get_solver("osqp").kind == "admm"      # reference alias
+    assert get_solver("gurobi").kind == "admm"
+    assert get_solver("riccati").kind == "riccati"
+    with pytest.raises(ValueError):
+        get_solver("mystery")
