@@ -39,7 +39,11 @@ def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
     slack0 = d - C @ x0
     shift = jnp.maximum(0.0, -jnp.min(slack0)) + 1.0
     s0 = slack0 + shift
-    lam0 = jnp.ones((m,), P.dtype)
+    # Derived from every input (not a fresh constant) so that under
+    # shard_map the scan carry's varying-axis annotation matches the loop
+    # body's output (the body mixes in axes from all of P, q, C, d).
+    zero_all = (jnp.sum(P) + jnp.sum(q) + jnp.sum(C) + jnp.sum(d)) * 0.0
+    lam0 = d * 0.0 + zero_all + 1.0
 
     # f32 safety: floor the barrier target and cap the scaling lam/s so H
     # stays solvable when the duality gap reaches float32 resolution

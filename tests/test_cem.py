@@ -45,3 +45,17 @@ def test_cem_respects_u_bounds():
     cem = CrossEntropyMethod(make_pendulum(0.05), p)
     cem.iterate(5, verbose=False)
     assert np.all(np.abs(cem.u_trj_lst[-1]) <= 0.7 + 1e-6)
+
+
+def test_cem_contact_delta_u():
+    """CEM against the quasistatic contact engine with Δu cost
+    (CrossEntropyMethodQuasistatic analogue)."""
+    import sys as _s
+    from pathlib import Path
+    _s.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    from planar_hand_cem import build_solver
+    cem, model = build_solver(T=15, batch_size=50, n_elite=8)
+    c0 = cem.cost
+    cem.iterate(5, verbose=False)
+    assert cem.cost_best < c0
+    assert np.all(np.isfinite(cem.u_trj_lst[-1]))

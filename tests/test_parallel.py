@@ -83,3 +83,32 @@ def test_full_solver_on_mesh_converges():
     s_ref = IrsMpc(make_pendulum(0.05), params_single)
     s_ref.iterate(8, verbose=False)
     assert abs(s.cost - s_ref.cost) / s_ref.cost < 0.05
+
+
+def test_multihost_helpers_single_process():
+    from irs_mpc_tpu.parallel import multihost
+    multihost.initialize()           # no-op on single process
+    mesh = multihost.pod_mesh(knot_shards=2)
+    assert dict(mesh.shape) == {"sample": 4, "knot": 2}
+    assert multihost.is_coordinator()
+
+
+def test_sharded_contact_estimation():
+    """Mesh-sharded estimation through the CONTACT engine (QP steps inside
+    shard_map with psum moments)."""
+    from irs_mpc_tpu.models.contact.systems import make_box_pushing
+    from irs_mpc_tpu.ops.estimators import SmoothingConfig
+    m = make_box_pushing()
+    sys = m.system()
+    x0 = jnp.asarray([0., 0.5, 0., 0., -0.12], jnp.float32)
+    u_trj = jnp.tile(x0[3:5][None], (4, 1))
+    x_trj = sys.rollout(x0, u_trj)
+    cfg = SmoothingConfig(num_samples=64, std_x=1e-3, std_u=0.1,
+                          decay=lambda it: 1.0, decay_std_x=False)
+    mesh = make_mesh(4, 2)
+    tv = sharded_estimate_tv_matrices(sys, "zero_order_B", x_trj, u_trj,
+                                      jax.random.PRNGKey(0), 1.0, cfg, mesh)
+    assert tv.B.shape == (4, 5, 2)
+    assert bool(jnp.all(jnp.isfinite(tv.B)))
+    # Hand command must move hand positions (B rows 3:5 ~ identity-ish).
+    assert float(jnp.mean(jnp.abs(tv.B[:, 3:, :]))) > 0.2
