@@ -67,9 +67,9 @@ def build_solver(gradient_mode="zero_order_B", num_samples=100, T=30):
             decay=lambda it: 1.0 / it ** 0.8, decay_std_x=False),
         admm_iters=30,
         report_final_cost_with_Q=False,
-        # Cheaper contact solves for the (noisy) Monte-Carlo sweep: ~1.6x
-        # faster per iteration at equal convergence quality.
-        estimation_system=dataclasses.replace(model, qp_iters=15).system(),
+        # Cheaper contact solves for the (noisy) Monte-Carlo sweep
+        # (reduced QP iterations + Pallas lane-batched solver on TPU).
+        estimation_system=model.estimation_surrogate(),
     )
     return IrsMpc(system, params), model
 

