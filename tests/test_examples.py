@@ -1,0 +1,54 @@
+"""Smoke tests locking every example driver's build path green (small
+budgets; the full-budget runs live in examples/run_all.py)."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+
+
+def test_box_pushing_descends():
+    from box_pushing import build_solver
+    # Needs the full T=60 horizon: on shorter horizons the pusher cannot
+    # reach the box within the trust region and the bundled gradient is
+    # legitimately flat (same failure the reference documents for exact
+    # mode, box_pushing_exact.csv).
+    # (30 samples is too noisy for this task's B estimate — the line
+    # search rejects every step; the reference uses 100, box_pushing_setup
+    # .py:33.)
+    s, _ = build_solver(num_samples=100, T=60)
+    c0 = s.cost
+    s.iterate(3, verbose=False)
+    assert s.cost_best < c0
+
+
+def test_box_pivoting_descends():
+    from box_pivoting import build_solver
+    s, _ = build_solver(num_samples=30, T=20)
+    c0 = s.cost
+    s.iterate(4, verbose=False)
+    assert s.cost_best < c0
+
+
+def test_plate_pickup_descends():
+    from plate_pickup import build_solver
+    s, _ = build_solver(num_samples=30, T=18)
+    c0 = s.cost
+    s.iterate(4, verbose=False)
+    assert s.cost_best < c0
+
+
+def test_second_order_examples_build():
+    from planar_hand_second_order import build_solver
+    s, _ = build_solver(num_samples=10, T=10)
+    s.iterate(2, verbose=False)
+    assert np.isfinite(s.cost)
+
+
+def test_carrots_builds_small():
+    from carrots import build_solver
+    s, model = build_solver(num_samples=5, T=4, n_pieces=6)
+    s.iterate(1, verbose=False)
+    assert np.isfinite(s.cost)
