@@ -8,7 +8,6 @@ dynamics-agnostic.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence
 
 import jax

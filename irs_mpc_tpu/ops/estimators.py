@@ -23,7 +23,7 @@ Modes (names match the reference ``gradient_mode`` strings,
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ augmentation — ``tv_lqr.py:98-110``):
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ XLA's, and determinism is by construction (keys are split per (knot, shard)).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,8 +7,6 @@ so per-iteration checkpointing is effectively free.
 """
 from __future__ import annotations
 
-import dataclasses
-import json
 from pathlib import Path
 
 import numpy as np

@@ -12,8 +12,6 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
-from typing import Optional
-
 
 @dataclasses.dataclass
 class ExperimentConfig:
