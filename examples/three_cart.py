@@ -1,8 +1,10 @@
 """Three-cart non-smooth collision system, zero-order with sample projection.
 
-Mirrors ``/root/reference/examples/three_cart/three_cart_zero_order.py``:
-push the middle cart to a goal through inelastic collisions; zero-order only
-(the system is non-differentiable) with samples projected onto the
+Mirrors ``/root/reference/examples/three_cart/three_cart_zero_order.py``
+EXACTLY: h=0.05, T=100, x0=(0,1,2), goal +2 on every cart (the MIDDLE cart
+is unactuated and can only be moved by pushing through collisions),
+Q=0.01 diag(50,50,50,20,100,20), Qd=diag(same), R=0.01 I,
+std (4.0, 0.5)/iter^0.2, 1000 samples with projection onto the
 non-penetration set.  NOTE the reference feeds projected *absolute* samples
 into a delta-expecting estimator (``three_cart_zero_order.py:38-43``) —
 documented quirk; this framework's projection hook keeps deltas consistent.
@@ -15,26 +17,27 @@ from irs_mpc_tpu import IrsMpc, IrsMpcParams, SmoothingConfig, make_three_cart
 
 
 def build_params(T=100):
-    x0 = np.array([-0.5, 0.0, 0.5, 0.0, 0.0, 0.0])
-    xd = np.array([0.3, 0.5, 0.7, 0.0, 0.0, 0.0])
     return IrsMpcParams(
-        Q=np.diag([1., 10., 1., 0.1, 0.1, 0.1]),
-        Qd=np.diag([10., 100., 10., 1., 1., 1.]),
-        R=np.diag([0.1, 0.1]),
-        x0=x0,
-        xd_trj=np.tile(xd, (T + 1, 1)),
-        u_trj_init=np.zeros((T, 2)),
+        Q=0.01 * np.diag([50., 50., 50., 20., 100., 20.]),
+        Qd=np.diag([50., 50., 50., 20., 100., 20.]),
+        R=0.01 * np.diag([1., 1.]),
+        x0=np.array([0., 1., 2., 0., 0., 0.]),
+        xd_trj=np.tile([2., 3., 4., 0., 0., 0.], (T + 1, 1)),
+        u_trj_init=np.tile([0.1, -0.1], (T, 1)),
+        u_bounds_abs=np.array([[-1000., -1000.], [1000., 1000.]]),
         gradient_mode="zero_order",
-        smoothing=SmoothingConfig(num_samples=2000, std_x=0.1, std_u=0.5),
+        smoothing=SmoothingConfig(
+            num_samples=1000, std_x=4.0, std_u=0.5,
+            decay=lambda it: 1.0 / it ** 0.2),
     )
 
 
 def main():
     carts = make_three_cart(0.05)
     solver = IrsMpc(carts, build_params())
-    solver.iterate(12, verbose=False)
+    solver.iterate(20, verbose=False)
     report(solver, "three_cart_zero_order")
-    print("final carts:", solver.x_trj_best[-1][:3])
+    print("final carts:", solver.x_trj_best[-1][:3], "(goal 2, 3, 4)")
 
 
 if __name__ == "__main__":

@@ -173,3 +173,19 @@ def test_estimation_surrogate_system():
     s.iterate(6, verbose=False)
     # T=60 pendulum converges to ~345 (the task optimum) from 566.
     assert s.cost_best < 0.65 * c0
+
+
+def test_quadrotor_golden_reference_config():
+    """Exact reference config (quadrotor_zero_order.py): helix tracking,
+    h=0.05, T=200.  Initial cost must equal the reference's 178342 (proves
+    dynamics parity with its hand-written RPY model); final beats the
+    reference CSVs (3379-3525 after 7 rows)."""
+    import sys as _s
+    from pathlib import Path
+    _s.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    from quadrotor import build_params
+    from irs_mpc_tpu import make_quadrotor
+    s = IrsMpc(make_quadrotor(0.05), build_params("zero_order"))
+    assert abs(s.cost - 178342.0) < 5.0
+    s.iterate(7, verbose=False)
+    assert s.cost_best < 3400.0
