@@ -160,6 +160,8 @@ class IrsMpc:
 
     # ------------------------------------------------------------------
     def _validate(self):
+        """Reference check_valid_system/check_valid_params
+        (irs_lqr.py:73-103), including the probe evaluation of dynamics."""
         s, p = self.system, self.params
         if s.dim_x == 0 or s.dim_u == 0:
             raise RuntimeError("System has zero states or inputs.")
@@ -169,6 +171,14 @@ class IrsMpc:
             raise RuntimeError("Qd must be dim_x x dim_x.")
         if np.shape(p.R) != (s.dim_u, s.dim_u):
             raise RuntimeError("R must be dim_u x dim_u.")
+        try:
+            out = s.step(jnp.zeros(s.dim_x), jnp.zeros(s.dim_u))
+            if out.shape != (s.dim_x,):
+                raise ValueError(f"step returned shape {out.shape}")
+        except Exception as e:
+            raise RuntimeError(
+                "Could not evaluate dynamics. Have you implemented it?"
+            ) from e
 
     # ------------------------------------------------------------------
     def eval_cost(self, x_trj: Array, u_trj: Array):

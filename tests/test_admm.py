@@ -123,3 +123,40 @@ def test_native_oracle_simple_qp():
     ub2 = np.array([1.0, 10.0])
     w2 = qp_box_eq_solve(P, f, E, d, lb, ub2)
     np.testing.assert_allclose(w2, [1.0, 0.0], atol=1e-5)
+
+
+def test_rel_state_bounds_dx():
+    """x_bounds_rel group: |x_{t+1} - x_t| <= bound on the solution."""
+    A, B, c, Q, Qd, R, x0, xd = _random_problem(T=8, n=3, m=2, seed=7)
+    prob = lqr_ops.build_tracking_problem(A, B, c, Q, Qd, R, x0, xd)
+    T, n, m = B.shape
+    lim = 0.15
+    bounds = admm_ops.BoxBounds(
+        dx=jnp.stack([jnp.full((T, n), -lim), jnp.full((T, n), lim)]))
+    sol = admm_ops.solve_boxed_tvlqr(prob, bounds, n_phys=n, rho=5.0,
+                                     iters=200)
+    dx = np.asarray(sol.x_trj[1:] - sol.x_trj[:-1])
+    assert float(sol.r_primal) < 5e-3
+    assert np.all(np.abs(dx) <= lim + 1e-2)
+    # And it must differ from the unconstrained solution (bound binds).
+    x_unc, _, _ = lqr_ops.lqr_solve(prob)
+    dx_unc = np.asarray(x_unc[1:] - x_unc[:-1])
+    assert np.max(np.abs(dx_unc)) > lim + 0.05
+
+
+def test_rel_input_bounds_du_delta_mode():
+    """u_bounds_rel group in the Δu-augmented problem:
+    |u_t - u_{t-1}| <= bound (u_{-1} = x0[idx])."""
+    A, B, c, Q, Qd, R, x0, xd = _random_problem(T=8, n=3, m=2, seed=8)
+    idx = jnp.array([0, 2], dtype=jnp.int32)
+    prob = lqr_ops.build_delta_u_problem(A, B, c, Q, Qd, R, x0, xd, idx)
+    T, m = 8, 2
+    lim = 0.1
+    bounds = admm_ops.BoxBounds(
+        du=jnp.stack([jnp.full((T, m), -lim), jnp.full((T, m), lim)]))
+    sol = admm_ops.solve_boxed_tvlqr(
+        prob, bounds, n_phys=3, idx_w=jnp.arange(3, 5), rho=5.0, iters=200)
+    u = np.asarray(sol.u_trj)
+    u_prev = np.concatenate([np.asarray(x0)[np.asarray(idx)][None],
+                             u[:-1]], axis=0)
+    assert np.all(np.abs(u - u_prev) <= lim + 1e-2)
