@@ -15,7 +15,10 @@ from irs_mpc_tpu import IrsMpc, IrsMpcParams, SmoothingConfig, make_bicycle
 
 def build_params(mode, hard=False, num_samples=2000):
     T = 100
-    xd = (np.array([0., -2., -np.pi / 2, 0., 0.]) if hard
+    # Reference goals: easy = ahead-left quarter turn; hard = BEHIND the
+    # car ([-3, -1, -pi/2], bicycle_exact_hard.py) — the config where exact
+    # gradients plateau (13301 -> 1661) and smoothing wins (-> 782/794).
+    xd = (np.array([-3., -1., -np.pi / 2, 0., 0.]) if hard
           else np.array([3., 1., np.pi / 2, 0., 0.]))
     return IrsMpcParams(
         Q=np.diag([5., 5., 3., 0.1, 0.1]),
@@ -42,7 +45,7 @@ def main():
         tag = "hard" if hard else "easy"
         for mode in ["exact", "first_order", "zero_order"]:
             solver = IrsMpc(bike, build_params(mode, hard))
-            solver.iterate(12, verbose=False)
+            solver.iterate(26 if hard else 12, verbose=False)
             report(solver, f"bicycle_{tag}_{mode}")
 
 

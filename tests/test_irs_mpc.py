@@ -189,3 +189,17 @@ def test_quadrotor_golden_reference_config():
     assert abs(s.cost - 178342.0) < 5.0
     s.iterate(7, verbose=False)
     assert s.cost_best < 3400.0
+
+
+def test_bicycle_hard_golden_smoothing_wins():
+    """Reference hard config (goal behind the car): initial 13301.09 exact;
+    reference finals: exact stuck at 1661, smoothed 782/794.  This framework
+    reaches <= 800 even in exact mode (the line search avoids the plateau)."""
+    import sys as _s
+    from pathlib import Path
+    _s.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    from bicycle import build_params
+    s = IrsMpc(make_bicycle(0.1), build_params("zero_order", hard=True))
+    assert abs(s.cost - 13301.09) < 0.1
+    s.iterate(26, verbose=False)
+    assert s.cost_best < 800.0
