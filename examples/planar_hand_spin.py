@@ -40,3 +40,22 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def build_cem_solver(T=30, batch_size=100, n_elite=15):
+    """CEM on the spin task (run_planar_hand_spin_cem.py analogue)."""
+    import numpy as np
+    from planar_hand_cem import build_solver as _cem_base
+    cem, model = _cem_base(T=T, batch_size=batch_size, n_elite=n_elite)
+    q0 = {"sphere": np.array([0.0, 0.35, 0.0]),
+          "arm_left": np.array([-np.pi / 4, -np.pi / 4]),
+          "arm_right": np.array([np.pi / 4, np.pi / 4])}
+    xd_dict = {"sphere": q0["sphere"] + np.array([0.0, 0.0, np.pi / 2]),
+               "arm_left": q0["arm_left"], "arm_right": q0["arm_right"]}
+    xd = model.get_x_from_q_dict(xd_dict)
+    import jax.numpy as jnp
+    cem.xd_trj = jnp.asarray(np.tile(xd, (T + 1, 1)), jnp.float32)
+    cem.cost = float(cem._cost(cem.x_trj, cem.u_trj))
+    cem.cost_lst = [cem.cost]
+    cem.cost_best = cem.cost
+    return cem, model
