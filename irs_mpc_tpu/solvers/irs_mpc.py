@@ -428,8 +428,14 @@ class IrsMpc:
                 parallel=p.parallel_riccati, backend=p.riccati_backend)
             gains, z_plan, u_plan = sol.gains, sol.x_trj, sol.u_trj
         else:
-            gains = (lqr_ops.riccati_backward_assoc(prob) if p.parallel_riccati
-                     else lqr_ops.riccati_backward(prob))
+            backend = "assoc" if p.parallel_riccati else p.riccati_backend
+            if backend == "assoc":
+                gains = lqr_ops.riccati_backward_assoc(prob)
+            elif backend == "pallas":
+                from ..ops.pallas_riccati import riccati_backward_pallas
+                gains = riccati_backward_pallas(prob)
+            else:
+                gains = lqr_ops.riccati_backward(prob)
             z_plan, u_plan = lqr_ops.lqr_rollout_linear(prob, gains)
 
         # Sanitize: if a degenerate estimate produced non-finite gains or
