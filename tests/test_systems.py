@@ -95,3 +95,21 @@ def test_three_cart_projection():
     xp, up = sys.projection(x, dx, jnp.zeros(2), du)
     # After projection carts 1,2 are exactly d apart.
     assert float(xp[0, 1] - xp[0, 0]) >= sys.h * 0 + 0.2 - 1e-6
+
+
+def test_mlp_dynamics_learns_and_plugs_in():
+    """models/mlp: trained surrogate approximates the true step and works
+    through the full System API (pendulum_nn.py analogue)."""
+    from irs_mpc_tpu.models.mlp import train_mlp_dynamics
+    true_sys = SYSTEMS["pendulum"]
+    nn_sys = train_mlp_dynamics(true_sys, num_transitions=4000,
+                                hidden=(32, 32), epochs=150, batch=512,
+                                x_range=2.0, u_range=2.0)
+    assert nn_sys.final_loss < 1e-2
+    x = jnp.array([0.5, -0.3])
+    u = jnp.array([0.4])
+    err = float(jnp.max(jnp.abs(nn_sys.step(x, u) - true_sys.step(x, u))))
+    assert err < 0.1
+    # Jacobians derive for free.
+    J = nn_sys.jacobian_xu(x, u)
+    assert J.shape == (2, 3) and bool(jnp.all(jnp.isfinite(J)))
