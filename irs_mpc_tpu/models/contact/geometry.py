@@ -332,9 +332,10 @@ class PrismaticFinger2D(BodyBase):
     def world_shapes(self, q):
         tip, th, R = self._tip(q)
         if self.length > 0:
-            # Capsule extending along the negative perpendicular (a finger
-            # hanging below the slide line).
-            d = R @ (_perp(jnp.asarray(self.axis)) * -self.length)
+            # Capsule hanging straight DOWN in the base frame.  (Deriving
+            # the direction from the slide axis is wrong: mirrored fingers
+            # with axis (-1, 0) would point upward and never touch.)
+            d = R @ jnp.asarray([0.0, -self.length], jnp.float32)
             return [("capsule", tip, tip + d,
                      jnp.asarray(self.radius, jnp.float32))]
         return [("circle", tip, jnp.asarray(self.radius, jnp.float32))]
