@@ -60,11 +60,21 @@ def build_solver(gradient_mode="zero_order_B", num_samples=100, T=40):
     return IrsMpc(system, params), model
 
 
-def main():
-    solver, model = build_solver()
-    solver.iterate(10, verbose=False)
-    report(solver, "box_pivoting_zero_order")
-    print("box final:", solver.x_trj_best[-1][:3])
+MODES = ("first_order", "zero_order_B")
+
+
+def main(modes=MODES, num_iters=10):
+    """Both reference modes (box_pivoting_{first_order,zero}.csv,
+    ref: ~14.5-15.4k -> 2424 / 2455)."""
+    solver = None
+    for mode in modes:
+        solver, model = build_solver(gradient_mode=mode)
+        solver.iterate(num_iters, verbose=False)
+        name = ("box_pivoting_zero_order" if mode.startswith("zero")
+                else f"box_pivoting_{mode}")
+        report(solver, name)
+        print(f"  [{mode}] box final:", solver.x_trj_best[-1][:3])
+    return solver
 
 
 if __name__ == "__main__":

@@ -61,13 +61,22 @@ def build_solver(gradient_mode="zero_order_B", num_samples=100, T=60):
     return IrsMpc(system, params), model
 
 
-def main():
-    solver, model = build_solver()
-    print(f"initial cost: {solver.cost:.4f}")
-    solver.iterate(10)
-    print(f"best cost: {solver.cost_best:.4f}")
-    print("box final:", solver.x_trj_best[-1][:3],
-          "goal:", np.asarray(solver.xd_trj[-1][:3]))
+MODES = ("exact", "first_order", "zero_order_B", "zero_order_AB")
+
+
+def main(modes=MODES, num_iters=10):
+    """Sweep the reference's four gradient modes, saving one cost curve per
+    mode (box_pushing_{exact,first_order,zero_order_B,zero_order_AB}.csv,
+    the reference's §6 curves where exact is stuck flat at ~112 while the
+    smoothed modes reach ~49-51)."""
+    from common import report
+    solver = None
+    for mode in modes:
+        solver, model = build_solver(gradient_mode=mode)
+        solver.iterate(num_iters, verbose=False)
+        report(solver, f"box_pushing_{mode}")
+        print(f"  [{mode}] box final:", solver.x_trj_best[-1][:3],
+              "goal:", np.asarray(solver.xd_trj[-1][:3]))
     return solver
 
 

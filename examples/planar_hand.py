@@ -72,13 +72,23 @@ def build_solver(gradient_mode="zero_order_B", num_samples=50, T=30,
     return IrsMpc(system, params), model
 
 
-def main():
-    solver, model = build_solver()
-    print(f"initial cost: {solver.cost:.4f}")
-    solver.iterate(10)
-    print(f"best cost: {solver.cost_best:.4f}")
-    xf = solver.x_trj_best[-1]
-    print("ball final:", xf[:3], "goal:", solver.xd_trj[-1][:3])
+MODES = ("exact", "first_order", "zero_order_B", "zero_order_AB")
+
+
+def main(modes=MODES, num_iters=10):
+    """Sweep the reference's four gradient modes, saving one cost curve per
+    mode (planar_hand_{exact,first_order,zero_order_B,zero_order_AB}.csv,
+    the reference's §6 curves where exact gets stuck at ~61 while the
+    smoothed modes reach ~11)."""
+    from common import report
+    solver = None
+    for mode in modes:
+        solver, model = build_solver(gradient_mode=mode)
+        solver.iterate(num_iters, verbose=False)
+        report(solver, f"planar_hand_{mode}")
+        xf = solver.x_trj_best[-1]
+        print(f"  [{mode}] ball final:", xf[:3],
+              "goal:", np.asarray(solver.xd_trj[-1][:3]))
     return solver
 
 

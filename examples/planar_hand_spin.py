@@ -31,11 +31,21 @@ def build_solver(gradient_mode="zero_order_B", num_samples=50, T=30):
     return solver, model
 
 
-def main():
-    solver, model = build_solver()
-    solver.iterate(12, verbose=False)
-    report(solver, "planar_hand_spin")
-    print("ball final:", solver.x_trj_best[-1][:3], "(goal theta pi/2)")
+MODES = ("exact", "first_order", "zero_order_AB")
+
+
+def main(modes=MODES, num_iters=12):
+    """Sweep the reference's spin-task modes, one curve per mode
+    (planar_hand_spin_{exact,first_order,zero_order_AB}.csv,
+    ref: 249.63 -> 63.79 / 62.73 / 53.51)."""
+    solver = None
+    for mode in modes:
+        solver, model = build_solver(gradient_mode=mode)
+        solver.iterate(num_iters, verbose=False)
+        report(solver, f"planar_hand_spin_{mode}")
+        print(f"  [{mode}] ball final:", solver.x_trj_best[-1][:3],
+              "(goal theta pi/2)")
+    return solver
 
 
 if __name__ == "__main__":

@@ -392,7 +392,12 @@ class IrsMpc:
         sys = self.system
         key, k_est = jax.random.split(key)
 
-        est_sys = p.estimation_system or sys
+        # The cheaper estimation surrogate is justified by Monte-Carlo noise
+        # in the sample targets; "exact" mode has no sampling, so it always
+        # linearizes the true system (reference: calc_AB_exact runs the full
+        # C++ sim, quasistatic_dynamics.py:190-191).
+        est_sys = (sys if p.gradient_mode == "exact"
+                   else p.estimation_system or sys)
         if p.mesh is not None:
             from ..parallel.sharded import sharded_estimate_tv_matrices
             tv = sharded_estimate_tv_matrices(
