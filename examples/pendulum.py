@@ -29,6 +29,11 @@ def main():
         solver = IrsMpc(pend, build_params(mode))
         solver.iterate(10, verbose=False)
         report(solver, f"pendulum_{mode}")
+    # Swing-up animation (reference pendulum_animation.py:5-23).
+    from irs_mpc_tpu.utils.viz import animate_analytic_trajectory
+    from common import ANALYSIS_DIR
+    animate_analytic_trajectory("pendulum", solver.x_trj_best,
+                                ANALYSIS_DIR / "pendulum.gif")
 
     T = 200
     cem = CrossEntropyMethod(pend, CemParams(

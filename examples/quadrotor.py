@@ -43,6 +43,11 @@ def main():
         solver = IrsMpc(quad, build_params(mode))
         solver.iterate(7, verbose=False)
         report(solver, f"quadrotor_{mode}")
+    # 3D helix-tracking animation (reference quadrotor_animation.py).
+    from irs_mpc_tpu.utils.viz import animate_analytic_trajectory
+    from common import ANALYSIS_DIR
+    animate_analytic_trajectory("quadrotor", solver.x_trj_best,
+                                ANALYSIS_DIR / "quadrotor.gif")
 
     T = 200
     cem = CrossEntropyMethod(make_quadrotor(0.05), CemParams(
@@ -51,7 +56,9 @@ def main():
         R=np.eye(4),
         x0=np.zeros(12), xd_trj=helix_xd(T),
         u_trj_init=np.tile([2.0] * 4, (T, 1)),
-        n_elite=30, batch_size=300, initial_std=np.ones(4) * 0.3))
+        # Reference config (quadrotor_cem.py:29-31): tiny std — larger
+        # population noise diverges the RPY dynamics over 200 steps.
+        n_elite=10, batch_size=100, initial_std=np.ones(4) * 0.01))
     cem.iterate(20, verbose=False)
     report(cem, "quadrotor_cem")
 

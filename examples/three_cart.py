@@ -38,6 +38,11 @@ def main():
     solver.iterate(20, verbose=False)
     report(solver, "three_cart_zero_order")
     print("final carts:", solver.x_trj_best[-1][:3], "(goal 2, 3, 4)")
+    # Collision-chain animation (reference three_cart_animation.py:6-42).
+    from irs_mpc_tpu.utils.viz import animate_analytic_trajectory
+    from common import ANALYSIS_DIR
+    animate_analytic_trajectory("three_cart", solver.x_trj_best,
+                                ANALYSIS_DIR / "three_cart.gif")
 
 
 if __name__ == "__main__":

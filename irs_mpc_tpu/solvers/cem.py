@@ -116,6 +116,16 @@ class CrossEntropyMethod:
         std_new = jnp.std(elites, axis=0)
         x_new = self.system.rollout(self.x0, u_new)
         cost_new = self._cost(x_new, u_new)
+        # Divergence guard: if the elites' mean rollout itself blows up
+        # (possible on stiff systems even when each elite was finite-cost),
+        # reject the refit — keep the previous mean and shrink std so the
+        # next population stays closer to the known-good trajectory.
+        bad = ~jnp.isfinite(cost_new)
+        prev_x = self.system.rollout(self.x0, u_trj)
+        u_new = jnp.where(bad, u_trj, u_new)
+        x_new = jnp.where(bad, prev_x, x_new)
+        std_new = jnp.where(bad, 0.5 * std_trj, std_new)
+        cost_new = jnp.where(bad, self._cost(prev_x, u_trj), cost_new)
         return x_new, u_new, std_new, cost_new, key
 
     # ------------------------------------------------------------------

@@ -122,3 +122,93 @@ def plot_phase_trajectories(x_trj_lst, path, dims=(0, 1),
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Analytic-system animations (the reference's per-example frame-dump scripts:
+# pendulum_animation.py:5-23, three_cart_animation.py:6-42,
+# quadrotor_animation.py)
+# ---------------------------------------------------------------------------
+
+def _frame_pendulum(ax, x, _u):
+    th = float(x[0])
+    # Reference convention (pendulum_dynamics.py): theta=0 hanging down,
+    # theta=pi upright.
+    tip = np.array([np.sin(th), -np.cos(th)])
+    ax.plot([0, tip[0]], [0, tip[1]], "k-", lw=2)
+    ax.add_patch(__import__("matplotlib.patches", fromlist=["Circle"])
+                 .Circle(tip, 0.08, color="tab:blue"))
+    ax.set_xlim(-1.3, 1.3)
+    ax.set_ylim(-1.3, 1.3)
+
+
+def _frame_three_cart(ax, x, _u):
+    import matplotlib.patches as mp
+    w, hgt = 0.4, 0.3
+    for i, col in enumerate(["tab:blue", "tab:orange", "tab:green"]):
+        ax.add_patch(mp.Rectangle((float(x[i]) - w / 2, 0), w, hgt,
+                                  color=col))
+    ax.axhline(0, color="k", lw=1)
+    ax.set_xlim(float(min(x[:3])) - 1.5, float(max(x[:3])) + 1.5)
+    ax.set_ylim(-0.5, 1.0)
+
+
+def _frame_bicycle(ax, x, _u):
+    px, py, th = float(x[0]), float(x[1]), float(x[2])
+    d = np.array([np.cos(th), np.sin(th)]) * 0.3
+    ax.plot([px - d[0], px + d[0]], [py - d[1], py + d[1]], "k-", lw=3)
+    ax.plot([px + d[0]], [py + d[1]], "r.", ms=10)
+    ax.set_xlim(px - 3, px + 3)
+    ax.set_ylim(py - 3, py + 3)
+
+
+_ANALYTIC_FRAMES = {
+    "pendulum": _frame_pendulum,
+    "three_cart": _frame_three_cart,
+    "bicycle": _frame_bicycle,
+}
+
+
+def animate_analytic_trajectory(name: str, x_trj, path, u_trj=None,
+                                fps: int = 20, max_frames: int = 80):
+    """Animate an analytic system's state trajectory to a GIF.
+
+    ``name`` in {pendulum, three_cart, bicycle, quadrotor}.  Frames are
+    subsampled to at most ``max_frames``."""
+    plt = _mpl()
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    x_trj = np.asarray(x_trj)
+    stride = max(1, len(x_trj) // max_frames)
+    idx = list(range(0, len(x_trj), stride))
+
+    if name == "quadrotor":
+        fig = plt.figure(figsize=(5, 5))
+        ax = fig.add_subplot(projection="3d")
+
+        def draw_frame(i):
+            k = idx[i]
+            ax.clear()
+            ax.plot(x_trj[:k + 1, 0], x_trj[:k + 1, 1], x_trj[:k + 1, 2],
+                    "b-", lw=1)
+            ax.scatter(*x_trj[k, :3], color="tab:red", s=40)
+            lo, hi = x_trj[:, :3].min() - 0.5, x_trj[:, :3].max() + 0.5
+            ax.set_xlim(lo, hi); ax.set_ylim(lo, hi); ax.set_zlim(lo, hi)
+            ax.set_title(f"quadrotor t={k}")
+    else:
+        frame_fn = _ANALYTIC_FRAMES[name]
+        fig, ax = plt.subplots(figsize=(5, 5))
+
+        def draw_frame(i):
+            k = idx[i]
+            ax.clear()
+            ax.set_aspect("equal")
+            frame_fn(ax, x_trj[k], None if u_trj is None else u_trj[min(k, len(u_trj) - 1)])
+            ax.set_title(f"{name} t={k}")
+
+    anim = FuncAnimation(fig, draw_frame, frames=len(idx))
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    anim.save(path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return path

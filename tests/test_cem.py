@@ -59,3 +59,25 @@ def test_cem_contact_delta_u():
     cem.iterate(5, verbose=False)
     assert cem.cost_best < c0
     assert np.all(np.isfinite(cem.u_trj_lst[-1]))
+
+
+def test_cem_divergent_mean_rollout_rejected():
+    """If the elites' mean rollout blows up, the refit is rejected: cost
+    history stays finite and the previous mean is kept (regression for the
+    all-NaN quadrotor_cem curve)."""
+    from irs_mpc_tpu.models.base import System
+
+    def step(x, u):
+        # Explosive beyond |x| > 2: overflows to inf/nan within a few steps.
+        return jnp.where(jnp.abs(x) > 2.0, x * x * 1e10, x + 0.1 * u)
+
+    sys_ = System(name="explosive", dim_x=1, dim_u=1, h=0.1, step=step)
+    T = 20
+    cem = CrossEntropyMethod(sys_, CemParams(
+        Q=np.eye(1), Qd=np.eye(1), R=np.eye(1) * 1e-3,
+        x0=np.zeros(1), xd_trj=np.tile([1.9], (T + 1, 1)),
+        u_trj_init=np.zeros((T, 1)),
+        n_elite=5, batch_size=50, initial_std=np.array([5.0]), seed=0))
+    cem.iterate(8, verbose=False)
+    assert np.all(np.isfinite(cem.cost_lst)), cem.cost_lst
+    assert np.isfinite(cem.cost_best)

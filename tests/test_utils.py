@@ -69,6 +69,16 @@ def test_viz_smoke(tmp_path):
     assert p2.exists()
 
 
+def test_analytic_animation_smoke(tmp_path):
+    from irs_mpc_tpu.utils.viz import animate_analytic_trajectory
+    for name, dim in [("pendulum", 2), ("three_cart", 6),
+                      ("bicycle", 5), ("quadrotor", 12)]:
+        x = np.cumsum(np.ones((5, dim)) * 0.1, axis=0)
+        p = animate_analytic_trajectory(name, x, tmp_path / f"{name}.gif",
+                                        fps=2)
+        assert p.exists() and p.stat().st_size > 0
+
+
 def test_contact_animation_smoke(tmp_path):
     from irs_mpc_tpu.models.contact.systems import make_box_pushing
     from irs_mpc_tpu.utils.viz import animate_contact_trajectory
