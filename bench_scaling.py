@@ -60,8 +60,15 @@ def main():
             "efficiency": round(base / results[s] / s, 3),
         } for s in sizes
     }
-    print(json.dumps({"metric": "estimation_sweep_scaling",
-                      "devices": n_dev, "results": report}))
+    out = {"metric": "estimation_sweep_scaling",
+           "devices": n_dev, "platform": jax.default_backend(),
+           "results": report}
+    if jax.default_backend() == "cpu":
+        out["caveat"] = ("virtual CPU devices share physical cores: this "
+                         "validates the SPMD code path and collective "
+                         "overheads, NOT real scaling efficiency (the "
+                         "1-device XLA CPU run already saturates the host)")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
