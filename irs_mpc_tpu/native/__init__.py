@@ -66,3 +66,53 @@ def qp_box_eq_solve(P, f, E, d, lb, ub, rho: float = 1.0,
     if ret != 0:
         raise RuntimeError("native QP solver: KKT factorization failed")
     return w
+
+
+def qp_ineq_solve_grad(P, q, C, d, dP=None, dq=None, dC=None, dd=None,
+                       rho: float = 1.0, iters: int = 8000,
+                       tol: float = 1e-11, act_tol: float = 1e-7):
+    """Native oracle: solve min 1/2 x'Px + q'x s.t. Cx <= d, and return the
+    ANALYTIC directional derivative dx for the tangent (dP, dq, dC, dd) via
+    the active-constraint KKT system — the reference's
+    ``grad_from_active_constraints`` semantics
+    (``quasistatic_dynamics.py:158-162``).  Returns (x, lam, dx)."""
+    lib = _get_lib()
+    if not hasattr(lib, "_ineq_configured"):
+        lib.qp_ineq_solve_grad.restype = ctypes.c_int
+        lib.qp_ineq_solve_grad.argtypes = (
+            [ctypes.c_int, ctypes.c_int]
+            + [ctypes.POINTER(ctypes.c_double)] * 8
+            + [ctypes.c_double, ctypes.c_int, ctypes.c_double,
+               ctypes.c_double]
+            + [ctypes.POINTER(ctypes.c_double)] * 3)
+        lib._ineq_configured = True
+    P = np.ascontiguousarray(P, np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    C = np.ascontiguousarray(C, np.float64)
+    d = np.ascontiguousarray(d, np.float64)
+    n, m = q.shape[0], d.shape[0]
+    z = lambda a, shape: (np.zeros(shape, np.float64) if a is None
+                          else np.ascontiguousarray(a, np.float64))
+    dP, dq = z(dP, (n, n)), z(dq, n)
+    dC, dd = z(dC, (m, n)), z(dd, m)
+    assert P.shape == (n, n) and C.shape == (m, n)
+    x = np.zeros(n, np.float64)
+    lam = np.zeros(m, np.float64)
+    dx = np.zeros(n, np.float64)
+    cd = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    # Escalate the ADMM budget / step size on slow-converging instances
+    # before declaring failure (a failure then means infeasible in practice).
+    for it_k, rho_k in ((iters, rho), (25 * iters, rho), (25 * iters,
+                                                          10 * rho)):
+        ret = lib.qp_ineq_solve_grad(
+            n, m, cd(P), cd(q), cd(C), cd(d), cd(dP), cd(dq), cd(dC), cd(dd),
+            ctypes.c_double(rho_k), it_k, ctypes.c_double(tol),
+            ctypes.c_double(act_tol), cd(x), cd(lam), cd(dx))
+        if ret != 2:
+            break
+    if ret == 1:
+        raise RuntimeError("native QP oracle: KKT factorization failed")
+    if ret == 2:
+        raise RuntimeError("native QP oracle: active-set refinement did not "
+                           "converge (problem likely infeasible)")
+    return x, lam, dx

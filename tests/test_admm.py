@@ -160,3 +160,29 @@ def test_rel_input_bounds_du_delta_mode():
     u_prev = np.concatenate([np.asarray(x0)[np.asarray(idx)][None],
                              u[:-1]], axis=0)
     assert np.all(np.abs(u - u_prev) <= lim + 1e-2)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_active_set_oracle_kkt_and_gradient(seed):
+    """qp_ineq_solve_grad: KKT optimality on feasible random QPs and the
+    analytic active-set directional derivative vs finite differences."""
+    from irs_mpc_tpu.native import qp_ineq_solve_grad
+    rng = np.random.RandomState(seed)
+    for _ in range(10):
+        n, m = 6, 12
+        A = rng.randn(n, n)
+        P = A @ A.T + np.eye(n)
+        q = rng.randn(n)
+        C = rng.randn(m, n)
+        d = C @ rng.randn(n) + np.abs(rng.randn(m)) * 0.3  # feasible
+        x, lam, _ = qp_ineq_solve_grad(P, q, C, d)
+        assert (C @ x - d).max() < 1e-6
+        assert np.all(lam >= -1e-9)
+        assert np.linalg.norm(P @ x + q + C.T @ lam) < 1e-5
+        dd = rng.randn(m)
+        eps = 1e-6
+        x2, _, _ = qp_ineq_solve_grad(P, q, C, d + eps * dd)
+        _, _, dx = qp_ineq_solve_grad(P, q, C, d, dd=dd)
+        err = np.linalg.norm((x2 - x) / eps - dx) / max(1.0,
+                                                        np.linalg.norm(dx))
+        assert err < 1e-4, err

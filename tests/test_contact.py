@@ -278,3 +278,60 @@ def test_mbp2d_torque_mode_gravity():
     # Constant force 1 N on y: after one step v = h * F/m.
     x2 = sys_.step(x, jnp.asarray([1.0, 0.0]))
     np.testing.assert_allclose(float(x2[2]), 0.01, atol=1e-6)
+
+
+def test_contact_qp_and_gradient_vs_native_active_set_oracle():
+    """The on-device PDIP contact QP and its implicit-function JVP vs the
+    native C++ active-set oracle (qp_ineq_solve_grad) on REAL contact-step
+    QPs — the on-device/native cross-check that replaces the reference's
+    python-vs-C++ simulator gradient comparison (run_planar_hand.py:93-107,
+    grad_from_active_constraints)."""
+    import jax
+    from irs_mpc_tpu.models.contact.qp import solve_qp
+    from irs_mpc_tpu.models.contact.systems import make_planar_hand
+    from irs_mpc_tpu.native import qp_ineq_solve_grad
+
+    m = make_planar_hand(h=0.1)
+    q_nom = m.get_x_from_q_dict({
+        "sphere": np.array([0.0, 0.35, 0.0]),
+        "arm_left": np.array([-np.pi / 4, -np.pi / 4]),
+        "arm_right": np.array([np.pi / 4, np.pi / 4])})
+    idx_u = m.indices_u_into_x()
+    rng = np.random.RandomState(0)
+    checked = 0
+    for trial in range(6):
+        # Realistic perturbation scale: rollout states stay within ~h*v of
+        # contact resolution; artificially deep penetrations (phi << 0) need
+        # more PDIP iterations than the production qp_iters budget.
+        q = jnp.asarray(q_nom + 0.005 * rng.randn(m.nq), jnp.float32)
+        u = q[idx_u] + jnp.asarray(0.01 * rng.randn(len(idx_u)), jnp.float32)
+        P, b = m._hessian_and_bias(q, u)
+        G, phi = m.contact_rows(q)
+        C, d = -G, phi
+
+        x = np.asarray(solve_qp(P, b, C, d, m.qp_iters))
+        xo, lam, _ = qp_ineq_solve_grad(np.asarray(P, np.float64),
+                                        np.asarray(b, np.float64),
+                                        np.asarray(C, np.float64),
+                                        np.asarray(d, np.float64))
+        # f32 PDIP vs f64 active-set: accuracy is conditioning-limited
+        # (P mixes Kp-stiff actuated rows with mass/h^2 object rows).
+        np.testing.assert_allclose(x, xo, atol=1e-2)
+
+        # Implicit-JVP vs active-set analytic gradient (tangent on the bias,
+        # i.e. d(step)/d(command) direction).
+        db = 0.1 * rng.randn(m.nq).astype(np.float32)
+        _, jx = jax.jvp(lambda bb: solve_qp(P, bb, C, d, m.qp_iters),
+                        (b,), (jnp.asarray(db),))
+        _, _, dxo = qp_ineq_solve_grad(np.asarray(P, np.float64),
+                                       np.asarray(b, np.float64),
+                                       np.asarray(C, np.float64),
+                                       np.asarray(d, np.float64),
+                                       dq=db.astype(np.float64))
+        # Soft (PDIP) vs hard (active-set) sensitivities agree away from
+        # weakly-active contacts; allow a loose norm-relative tolerance.
+        denom = max(1.0, float(np.linalg.norm(dxo)))
+        err = float(np.linalg.norm(np.asarray(jx) - dxo)) / denom
+        assert err < 0.05, (trial, err)
+        checked += 1
+    assert checked == 6
