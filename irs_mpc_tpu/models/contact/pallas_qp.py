@@ -76,7 +76,7 @@ def _kernel(n: int, m: int, iters: int, sigma: float,
     lam_arr = jnp.stack(lam_list)
 
     mu_floor = 3e-7
-    w_cap = 1e6
+    w_cap = 1e10    # must match qp._pdip_solve (see accuracy note there)
 
     def body(_, carry):
         x_arr, s_arr, lam_arr = carry

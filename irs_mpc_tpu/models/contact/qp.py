@@ -48,8 +48,14 @@ def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
     # f32 safety: floor the barrier target and cap the scaling lam/s so H
     # stays solvable when the duality gap reaches float32 resolution
     # (otherwise extra iterations past convergence produce NaNs).
+    # w_cap sets the achievable constraint enforcement: active slacks settle
+    # at ~lam/w_cap, so a low cap leaks penetration on stiff systems
+    # (Kp=5e4 box-pivoting needed dq accuracy 5e-2 -> 3e-6 when the cap was
+    # raised 1e6 -> 1e10; H entries ~1e10 stay far below f32 overflow, and a
+    # 360-state x 120-iteration sweep across all contact systems stays
+    # finite).
     mu_floor = 3e-7
-    w_cap = 1e6
+    w_cap = 1e10
 
     def body(carry, _):
         x, s, lam = carry
