@@ -23,6 +23,12 @@ from ...ops.linalg import solve_spd
 
 Array = jax.Array
 
+# Shared active-set scaling cap: the forward PDIP solve and the implicit JVP
+# must agree on how stiff an "active" constraint can get, or the JVP's KKT
+# matrix develops digits the forward solve never produced (f32 conditioning
+# hazard on stiff systems).
+W_CAP = 1e10
+
 
 def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
     """Primal-dual interior point with fixed iteration count.
@@ -55,7 +61,7 @@ def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
     # 360-state x 120-iteration sweep across all contact systems stays
     # finite).
     mu_floor = 3e-7
-    w_cap = 1e10
+    w_cap = W_CAP
 
     def body(carry, _):
         x, s, lam = carry
@@ -101,10 +107,12 @@ def _solve_qp_jvp(iters, primals, tangents):
 
     # Implicit differentiation of the (relaxed) KKT system with the duals'
     # sensitivity D = lam/s — the soft active set.  As the solve tightens,
-    # D -> inf on active rows and 0 on inactive ones, recovering the
-    # reference's grad_from_active_constraints semantics.
+    # D grows on active rows and -> 0 on inactive ones, recovering the
+    # reference's grad_from_active_constraints semantics.  D is capped at the
+    # same W_CAP as the forward solve: active slacks settle near lam/W_CAP,
+    # so an uncapped D would reach ~W_CAP^2/lam and swamp P's digits in f32.
     eps = 1e-8
-    D = lam / jnp.maximum(s, eps)
+    D = jnp.minimum(lam / jnp.maximum(s, eps), W_CAP)
     n = q.shape[0]
     H = P + (C.T * D) @ C + 1e-10 * jnp.eye(n, dtype=P.dtype)
     rhs = -(dP @ x + dq + dC.T @ lam) + C.T @ (D * (dd - dC @ x))

@@ -190,12 +190,12 @@ bool kkt_solve(int n, const double* P, const double* C,
   return true;
 }
 
-// Reduce `act` to a linearly independent subset of C's rows, prioritizing
-// the most recently added entries (so a just-added violated row survives and
-// the add/drop loop cannot cycle).  Degenerate vertices (more active rows
-// than variables) make the KKT system singular otherwise; the multipliers on
-// a dependent subset are non-unique and any independent subset yields a
-// valid KKT point and generalized derivative.
+// Reduce `act` to a linearly independent subset of C's rows (the polish
+// below is drop-only, so the iteration order among dependent rows is
+// arbitrary; reverse order is kept for determinism).  Degenerate vertices
+// (more active rows than variables) make the KKT system singular otherwise;
+// the multipliers on a dependent subset are non-unique and any independent
+// subset yields a valid KKT point and generalized derivative.
 void filter_independent_rows(std::vector<int>& act, const double* C, int n) {
   std::vector<std::vector<double>> basis;
   std::vector<int> kept;

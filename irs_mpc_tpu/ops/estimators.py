@@ -59,6 +59,11 @@ class SmoothingConfig:
     decay: Callable[[Array], Array] = lambda it: 1.0 / jnp.sqrt(it)
     damp: float = 1e-2          # Tikhonov damping for zero_order_AB
     decay_std_x: bool = True    # whether decay applies to std_x as well
+    # A-matrix source for zero_order_B.  The quasistatic reference uses the
+    # exact Jacobian at the nominal (quasistatic_dynamics.py:242-266); the
+    # second-order MBP reference instead averages first-order Jacobians over
+    # the same u-samples (mbp_dynamics.py:387-389).
+    zero_order_B_A_source: str = "exact"    # "exact" | "first_order"
 
     def stds(self, it: Array, dim_x: int, dim_u: int):
         scale = self.decay(jnp.asarray(it, jnp.float32))
@@ -69,7 +74,7 @@ class SmoothingConfig:
 
     def __hash__(self):
         return hash((self.num_samples, id(self.decay), self.damp,
-                     self.decay_std_x))
+                     self.decay_std_x, self.zero_order_B_A_source))
 
     def __eq__(self, other):
         return self is other
@@ -144,14 +149,21 @@ def _knot_zero_order(system: System, x, u, key, sx, su, cfg):
 
 
 def _knot_zero_order_B(system: System, x, u, key, sx, su, cfg):
-    """B from input-only sampling; A from the exact Jacobian."""
+    """B from input-only sampling; A from the exact Jacobian at the nominal
+    (quasistatic reference) or from first-order Jacobian averaging over the
+    same u-samples (MBP reference, mbp_dynamics.py:387-389) per
+    ``cfg.zero_order_B_A_source``."""
     _, du = _sample_perturbations(key, sx, su, cfg.num_samples)
     f0 = system.step(x, u)
-    fd = system.step_batch(jnp.broadcast_to(x, (cfg.num_samples,) + x.shape),
-                           u[None] + du)
+    x_rep = jnp.broadcast_to(x, (cfg.num_samples,) + x.shape)
+    fd = system.step_batch(x_rep, u[None] + du)
     B_hat = _fit_lstsq(du, fd - f0[None])
-    A_exact = system.jacobian_xu(x, u)[:, :x.shape[0]]
-    return jnp.concatenate([A_exact, B_hat], axis=1)
+    if cfg.zero_order_B_A_source == "first_order":
+        AB = system.jacobian_xu_batch(x_rep, u[None] + du)
+        A_hat = jnp.mean(AB, axis=0)[:, :x.shape[0]]
+    else:
+        A_hat = system.jacobian_xu(x, u)[:, :x.shape[0]]
+    return jnp.concatenate([A_hat, B_hat], axis=1)
 
 
 def _knot_zero_order_AB(system: System, x, u, key, sx, su, cfg):

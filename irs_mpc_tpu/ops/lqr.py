@@ -311,6 +311,49 @@ def build_delta_u_problem(
         Qf=Qf_aug, qf=qf_aug, x0=x0_aug)
 
 
+def build_prev_u_tracking_problem(
+        A: Array, B: Array, c: Array,
+        Q: Array, Qd: Array, R: Array,
+        x0: Array, xd_trj: Array) -> LqrProblem:
+    """Tracking problem (plain u'Ru cost) with a prev-input augmented state.
+
+    Used when relative input bounds (u_t - u_{t-1} boxes) must be enforced
+    inside the QP for a system WITHOUT the Δu-cost mode.  The reference
+    intends this (``tv_lqr.py:121-124`` adds the box unconditionally) but its
+    defining equality ``du_t == u_t - u_{t-1}`` only exists in the Δu branch
+    (``tv_lqr.py:98-105``), so its non-Δu rel bounds constrain free slack
+    variables — a documented reference quirk we fix by augmenting
+    z = [x; w], w_t = u_{t-1}, and boxing u - w in the ADMM solver.  The
+    t=0 stage has no predecessor input; callers widen that row's box
+    (w_0 is set to 0 and carries no cost).
+    """
+    T, n, m = B.shape
+    dt = A.dtype
+    na = n + m
+    Z = jnp.zeros
+
+    A_aug = Z((T, na, na), dt).at[:, :n, :n].set(A)
+    B_aug = Z((T, na, m), dt).at[:, :n, :].set(B)
+    B_aug = B_aug.at[:, n:, :].set(jnp.broadcast_to(jnp.eye(m, dtype=dt),
+                                                    (T, m, m)))
+    c_aug = Z((T, na), dt).at[:, :n].set(c)
+
+    Q_aug = Z((T, na, na), dt).at[:, :n, :n].set(
+        jnp.broadcast_to(Q, (T, n, n)))
+    q_aug = Z((T, na), dt).at[:, :n].set(-(xd_trj[:-1] @ Q.T))
+    Qf_aug = Z((na, na), dt).at[:n, :n].set(Qd)
+    qf_aug = Z((na,), dt).at[:n].set(-(Qd @ xd_trj[-1]))
+
+    x0_aug = jnp.concatenate([x0, jnp.zeros((m,), dt)])
+
+    return LqrProblem(
+        A=A_aug, B=B_aug, c=c_aug,
+        Q=Q_aug, R=jnp.broadcast_to(R, (T, m, m)),
+        N=Z((T, na, m), dt),
+        q=q_aug, r=Z((T, m), dt),
+        Qf=Qf_aug, qf=qf_aug, x0=x0_aug)
+
+
 def split_augmented(x_aug_trj: Array, n: int):
     """Recover the physical state trajectory from an augmented solution."""
     return x_aug_trj[:, :n]

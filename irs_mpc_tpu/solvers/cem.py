@@ -92,7 +92,7 @@ class CrossEntropyMethod:
             c += jnp.einsum("ti,ij,tj->", du, self.R, du)
         return c
 
-    def _step(self, u_trj, std_trj, key):
+    def _step(self, u_trj, std_trj, prev_x, prev_cost, key):
         p = self.params
         key, k = jax.random.split(key)
         eps = jax.random.normal(k, (p.batch_size, self.T, self.system.dim_u))
@@ -116,23 +116,34 @@ class CrossEntropyMethod:
         std_new = jnp.std(elites, axis=0)
         x_new = self.system.rollout(self.x0, u_new)
         cost_new = self._cost(x_new, u_new)
-        # Divergence guard: if the elites' mean rollout itself blows up
-        # (possible on stiff systems even when each elite was finite-cost),
-        # reject the refit — keep the previous mean and shrink std so the
-        # next population stays closer to the known-good trajectory.
-        bad = ~jnp.isfinite(cost_new)
-        prev_x = self.system.rollout(self.x0, u_trj)
-        u_new = jnp.where(bad, u_trj, u_new)
-        x_new = jnp.where(bad, prev_x, x_new)
-        std_new = jnp.where(bad, 0.5 * std_trj, std_new)
-        cost_new = jnp.where(bad, self._cost(prev_x, u_trj), cost_new)
+        # Divergence guard: the elites' mean rollout can blow up on stiff
+        # systems even when each elite was finite-cost.  Fall back to the
+        # best single elite (known finite unless the whole population
+        # diverged); failing that, keep the previous mean (cost threaded
+        # through the carry — no re-rollout) WITHOUT shrinking std, so a bad
+        # initial mean can still escape via future populations.
+        best_u = cand[elite_idx[0]]
+        best_cost = costs[elite_idx[0]]
+        bad_mean = ~jnp.isfinite(cost_new)
+        use_elite = bad_mean & jnp.isfinite(best_cost)
+        use_prev = bad_mean & ~jnp.isfinite(best_cost)
+
+        u_new = jnp.where(use_prev, u_trj, jnp.where(use_elite, best_u, u_new))
+        x_new = jnp.where(
+            use_prev, prev_x,
+            jnp.where(use_elite, self.system.rollout(self.x0, best_u), x_new))
+        cost_new = jnp.where(use_prev, prev_cost,
+                             jnp.where(use_elite, best_cost, cost_new))
+        std_new = jnp.where(use_prev, std_trj,
+                            jnp.where(use_elite, 0.5 * std_trj, std_new))
         return x_new, u_new, std_new, cost_new, key
 
     # ------------------------------------------------------------------
     def iterate(self, max_iterations: int, verbose: bool = True):
         for _ in range(max_iterations):
             x_new, u_new, std_new, cost_new, self.key = self._step_jit(
-                self.u_trj, self.std_trj, self.key)
+                self.u_trj, self.std_trj, self.x_trj,
+                jnp.asarray(self.cost, jnp.float32), self.key)
             cost_new = float(cost_new)
             if verbose:
                 print(f"Iteration: {self.iter:02d} || Current Cost: "

@@ -137,6 +137,12 @@ class IrsMpc:
         self.T = int(self.u_trj.shape[0])
         self.idx_u = (None if p.indices_u_into_x is None
                       else jnp.asarray(p.indices_u_into_x, jnp.int32))
+        # The QP state is augmented with a prev-input block w_t = u_{t-1}
+        # whenever the Δu cost needs it OR relative input bounds must be
+        # enforced in plain-u mode (the reference's tv_lqr.py:121-124 intends
+        # the latter but its du equality only exists in the Δu branch,
+        # tv_lqr.py:98-105 — a quirk we fix; see build_prev_u_tracking_problem).
+        self._aug = (self.idx_u is not None) or (p.u_bounds_rel is not None)
 
         self.key = jax.random.PRNGKey(p.seed)
         self.x_trj = system.rollout(self.x0, self.u_trj)
@@ -152,9 +158,13 @@ class IrsMpc:
         self.iter = 1
         self.start_time = time.time()
 
-        if p.riccati_backend == "auto":
-            p.riccati_backend = ("pallas" if jax.default_backend() == "tpu"
-                                 else "scan")
+        # Resolve "auto" locally — never mutate the caller's params (one
+        # IrsMpcParams may be reused across solvers/backends).
+        self._riccati_backend = p.riccati_backend
+        if self._riccati_backend == "auto":
+            self._riccati_backend = ("pallas"
+                                     if jax.default_backend() == "tpu"
+                                     else "scan")
 
         self._iteration_jit = jax.jit(self._iteration)
 
@@ -229,13 +239,18 @@ class IrsMpc:
     # ------------------------------------------------------------------
     def _build_problem(self, tv: TvLinearization, x_trj):
         p = self.params
-        if self.idx_u is None:
-            return lqr_ops.build_tracking_problem(
+        if self.idx_u is not None:
+            return lqr_ops.build_delta_u_problem(
+                tv.A, tv.B, tv.c, self.Q, self.Qd, self.R,
+                x_trj[0], self.xd_trj, self.idx_u)
+        if self._aug:
+            # Plain u'Ru cost, but rel input bounds need the prev-u block.
+            return lqr_ops.build_prev_u_tracking_problem(
                 tv.A, tv.B, tv.c, self.Q, self.Qd, self.R,
                 x_trj[0], self.xd_trj)
-        return lqr_ops.build_delta_u_problem(
+        return lqr_ops.build_tracking_problem(
             tv.A, tv.B, tv.c, self.Q, self.Qd, self.R,
-            x_trj[0], self.xd_trj, self.idx_u)
+            x_trj[0], self.xd_trj)
 
     def _u_bounds_for_rollout(self, x_trj):
         """Per-knot (lb, ub) input bounds for the projected-feedback rollout,
@@ -308,9 +323,15 @@ class IrsMpc:
             return jnp.stack([jnp.broadcast_to(b[0], (T, dim)),
                               jnp.broadcast_to(b[1], (T, dim))])
 
+        du = brel(p.u_bounds_rel, m)
+        if du is not None and self.idx_u is None:
+            # Plain-u mode: no predecessor input exists at t=0 (the Δu mode
+            # anchors to x0[idx_u]); leave the first stage unconstrained.
+            big = 3e4
+            du = du.at[0, 0].set(-big).at[1, 0].set(big)
+
         return admm_ops.BoxBounds(
-            x=bx(), u=bu(), dx=brel(p.x_bounds_rel, n),
-            du=brel(p.u_bounds_rel, m) if self.idx_u is not None else None)
+            x=bx(), u=bu(), dx=brel(p.x_bounds_rel, n), du=du)
 
     def _resolve_forward(self, prob, x_trj, u_trj):
         """Exact receding-horizon forward pass: at every knot t, re-solve the
@@ -331,7 +352,10 @@ class IrsMpc:
         f32 = jnp.float32
         eye_aug = jnp.eye(n_aug, dtype=f32)
 
-        # Identity-padding stage dynamics: x'=x; w' = x[idx_u] (Δu mode).
+        # Identity-padding stage dynamics: x'=x; w' = x[idx_u] (Δu mode) or
+        # w'=w (plain-u with rel bounds: w carries u_prev unchanged through
+        # padded stages, so the tail problem's first rel bound anchors to the
+        # actually-applied previous input).
         A_pad = eye_aug
         if self.idx_u is not None:
             A_pad = A_pad.at[n:, :].set(0.0)
@@ -340,7 +364,7 @@ class IrsMpc:
 
         bounds = self._box_bounds(x_trj)
         big = jnp.asarray(3e4, f32)
-        idx_w = (jnp.arange(n, n_aug) if self.idx_u is not None else None)
+        idx_w = (jnp.arange(n, n_aug) if self._aug else None)
 
         def mask_bounds(b, t, time_len):
             if b is None:
@@ -365,7 +389,9 @@ class IrsMpc:
                 q=mask_t[..., 0] * prob.q,
                 r=mask_t[..., 0] * prob.r,
                 x0=(jnp.concatenate([x_cur, x_cur[self.idx_u]])
-                    if self.idx_u is not None else x_cur),
+                    if self.idx_u is not None else
+                    jnp.concatenate([x_cur, u_prev]) if self._aug
+                    else x_cur),
             )
             bounds_t = admm_ops.BoxBounds(
                 x=mask_bounds(bounds.x, t, T + 1),
@@ -375,7 +401,7 @@ class IrsMpc:
             sol = admm_ops.solve_boxed_tvlqr(
                 prob_t, bounds_t, n_phys=n, idx_w=idx_w,
                 rho=p.admm_rho, iters=p.admm_iters,
-                backend=p.riccati_backend)
+                backend=self._riccati_backend)
             u = jnp.nan_to_num(sol.u_trj[t])
             x_next = sys.step(x_cur, u)
             return (x_next, u), (x_next, u)
@@ -426,14 +452,14 @@ class IrsMpc:
             return x_new, us, key, cvec
 
         if self._has_bounds():
-            idx_w = (jnp.arange(n, n + m) if self.idx_u is not None else None)
+            idx_w = (jnp.arange(n, n + m) if self._aug else None)
             sol = admm_ops.solve_boxed_tvlqr(
                 prob, self._box_bounds(x_trj), n_phys=n, idx_w=idx_w,
                 rho=p.admm_rho, iters=p.admm_iters,
-                parallel=p.parallel_riccati, backend=p.riccati_backend)
+                parallel=p.parallel_riccati, backend=self._riccati_backend)
             gains, z_plan, u_plan = sol.gains, sol.x_trj, sol.u_trj
         else:
-            backend = "assoc" if p.parallel_riccati else p.riccati_backend
+            backend = "assoc" if p.parallel_riccati else self._riccati_backend
             if backend == "assoc":
                 gains = lqr_ops.riccati_backward_assoc(prob)
             elif backend == "pallas":
@@ -464,10 +490,21 @@ class IrsMpc:
         # can blow up outside the QP's feasible region).
         lb, ub = self._u_bounds_for_rollout(x_trj)
         has_rel = p.u_bounds_rel is not None
-        rel = (jnp.asarray(p.u_bounds_rel, jnp.float32) if has_rel else None)
+        if has_rel:
+            # Per-knot rel boxes; in plain-u mode t=0 has no predecessor
+            # input, so its row is unconstrained (matches _box_bounds).
+            rel = jnp.asarray(p.u_bounds_rel, jnp.float32)
+            rel_lb = jnp.broadcast_to(rel[0], (self.T, m))
+            rel_ub = jnp.broadcast_to(rel[1], (self.T, m))
+            if self.idx_u is None:
+                rel_lb = rel_lb.at[0].set(-jnp.inf)
+                rel_ub = rel_ub.at[0].set(jnp.inf)
+        else:
+            rel_lb = jnp.full((self.T, m), -jnp.inf)
+            rel_ub = jnp.full((self.T, m), jnp.inf)
         u_prev0 = (x_trj[0, self.idx_u] if self.idx_u is not None
                    else jnp.zeros((m,), jnp.float32))
-        if self.idx_u is not None:
+        if self._aug:
             w_nom = jnp.concatenate([u_prev0[None], u_trj[:-1]], axis=0)
             z_nom = jnp.concatenate([x_trj[:-1], w_nom], axis=1)
         else:
@@ -479,19 +516,18 @@ class IrsMpc:
 
             def fwd_step(carry, inp):
                 x, u_prev = carry
-                K, z_r, u_r, lb_t, ub_t = inp
-                z = (x if self.idx_u is None
-                     else jnp.concatenate([x, u_prev]))
+                K, z_r, u_r, lb_t, ub_t, rlb_t, rub_t = inp
+                z = (jnp.concatenate([x, u_prev]) if self._aug else x)
                 u = u_r - K @ (z - z_r)
                 if has_rel:
-                    u = jnp.clip(u, u_prev + rel[0], u_prev + rel[1])
+                    u = jnp.clip(u, u_prev + rlb_t, u_prev + rub_t)
                 u = jnp.clip(u, lb_t, ub_t)
                 x_next = sys.step(x, u)
                 return (x_next, u), (x_next, u)
 
             _, (xs, us) = jax.lax.scan(
                 fwd_step, (x_trj[0], u_prev0),
-                (gains.K, z_ref, u_ref, lb, ub))
+                (gains.K, z_ref, u_ref, lb, ub, rel_lb, rel_ub))
             x_new = jnp.concatenate([x_trj[0][None], xs], axis=0)
             channels = self.eval_cost(x_new, us)
             return x_new, us, jnp.stack(channels)

@@ -142,14 +142,16 @@ def _frame_pendulum(ax, x, _u):
     ax.set_ylim(-1.3, 1.3)
 
 
-def _frame_three_cart(ax, x, _u):
+def _frame_three_cart(ax, x, _u, x_trj=None):
     import matplotlib.patches as mp
     w, hgt = 0.4, 0.3
     for i, col in enumerate(["tab:blue", "tab:orange", "tab:green"]):
         ax.add_patch(mp.Rectangle((float(x[i]) - w / 2, 0), w, hgt,
                                   color=col))
     ax.axhline(0, color="k", lw=1)
-    ax.set_xlim(float(min(x[:3])) - 1.5, float(max(x[:3])) + 1.5)
+    # Fixed camera over the whole trajectory (per-frame limits jitter).
+    ref = x[:3] if x_trj is None else x_trj[:, :3]
+    ax.set_xlim(float(np.min(ref)) - 1.5, float(np.max(ref)) + 1.5)
     ax.set_ylim(-0.5, 1.0)
 
 
@@ -203,7 +205,11 @@ def animate_analytic_trajectory(name: str, x_trj, path, u_trj=None,
             k = idx[i]
             ax.clear()
             ax.set_aspect("equal")
-            frame_fn(ax, x_trj[k], None if u_trj is None else u_trj[min(k, len(u_trj) - 1)])
+            u_k = None if u_trj is None else u_trj[min(k, len(u_trj) - 1)]
+            if name == "three_cart":
+                frame_fn(ax, x_trj[k], u_k, x_trj)
+            else:
+                frame_fn(ax, x_trj[k], u_k)
             ax.set_title(f"{name} t={k}")
 
     anim = FuncAnimation(fig, draw_frame, frames=len(idx))

@@ -162,6 +162,108 @@ def test_rel_input_bounds_du_delta_mode():
     assert np.all(np.abs(u - u_prev) <= lim + 1e-2)
 
 
+def test_rel_input_bounds_plain_u_mode():
+    """u_bounds_rel in PLAIN-u mode (no Δu cost): the prev-u-augmented
+    problem (ops/lqr.build_prev_u_tracking_problem) must enforce
+    |u_t - u_{t-1}| <= lim for t >= 1 INSIDE the QP.  The reference intends
+    this (tv_lqr.py:121-124 adds the box unconditionally) but its non-Δu
+    branch never ties dut to u_t - u_{t-1} (tv_lqr.py:98-105), so there the
+    bound binds a free slack — a quirk fixed here.  Cross-checked against
+    the native active-set oracle on the condensed (equality-eliminated) QP.
+    """
+    from irs_mpc_tpu.native import qp_ineq_solve_grad
+    A, B, c, Q, Qd, R, x0, xd = _random_problem(T=8, n=3, m=2, seed=11)
+    prob = lqr_ops.build_prev_u_tracking_problem(A, B, c, Q, Qd, R, x0, xd)
+    T, n, m = B.shape
+    lim = 0.12
+
+    # du box with the t=0 row unconstrained (no predecessor input).
+    big = 3e4
+    du_lb = np.full((T, m), -lim); du_lb[0] = -big
+    du_ub = np.full((T, m), lim); du_ub[0] = big
+    bounds = admm_ops.BoxBounds(
+        du=jnp.stack([jnp.asarray(du_lb, jnp.float32),
+                      jnp.asarray(du_ub, jnp.float32)]))
+    sol = admm_ops.solve_boxed_tvlqr(
+        prob, bounds, n_phys=n, idx_w=jnp.arange(n, n + m), rho=5.0,
+        iters=300)
+    u = np.asarray(sol.u_trj)
+    du = u[1:] - u[:-1]
+    assert float(sol.r_primal) < 5e-3
+    assert np.all(np.abs(du) <= lim + 1e-2)
+
+    # The bound must actually bind: the unconstrained optimum violates it.
+    u_unc = np.asarray(lqr_ops.lqr_solve(prob)[1])
+    assert np.max(np.abs(u_unc[1:] - u_unc[:-1])) > lim + 0.05
+
+    # Condensed f64 oracle: x-stack = S u + s0, inequalities on du rows.
+    A64, B64, c64 = [np.asarray(a, np.float64) for a in (A, B, c)]
+    Q64, Qd64, R64 = [np.asarray(a, np.float64) for a in (Q, Qd, R)]
+    x064, xd64 = np.asarray(x0, np.float64), np.asarray(xd, np.float64)
+    nv = T * m
+    S = np.zeros(((T + 1) * n, nv))
+    s0 = np.zeros((T + 1) * n)
+    s0[:n] = x064
+    for t in range(T):
+        r = (t + 1) * n
+        S[r:r + n] = A64[t] @ S[r - n:r]
+        S[r:r + n, t * m:(t + 1) * m] += B64[t]
+        s0[r:r + n] = A64[t] @ s0[r - n:r] + c64[t]
+    Qbig = np.zeros(((T + 1) * n, (T + 1) * n))
+    for t in range(T):
+        Qbig[t * n:(t + 1) * n, t * n:(t + 1) * n] = Q64
+    Qbig[T * n:, T * n:] = Qd64
+    Rbig = np.kron(np.eye(T), R64)
+    e0 = s0 - xd64.reshape(-1)
+    H = S.T @ Qbig @ S + Rbig
+    f = S.T @ Qbig @ e0
+    rows = []
+    rhs = []
+    for t in range(1, T):
+        D = np.zeros((m, nv))
+        D[:, t * m:(t + 1) * m] = np.eye(m)
+        D[:, (t - 1) * m:t * m] = -np.eye(m)
+        rows += [D, -D]
+        rhs += [np.full(m, lim), np.full(m, lim)]
+    C = np.vstack(rows)
+    d = np.concatenate(rhs)
+    u_or, _, _ = qp_ineq_solve_grad(2 * H, 2 * f, C, d)
+    np.testing.assert_allclose(u.reshape(-1), u_or, rtol=2e-2, atol=2e-2)
+
+
+def test_rel_input_bounds_plain_u_solver_path():
+    """End-to-end IrsMpc with u_bounds_rel on a plain-u system: the accepted
+    trajectory's inputs respect the rel box for t >= 1 even when it binds."""
+    from irs_mpc_tpu import IrsMpc, IrsMpcParams, SmoothingConfig
+    from irs_mpc_tpu.models.base import System
+
+    # Double integrator; aggressive goal so unconstrained du would be large.
+    h = 0.1
+
+    def step(x, u):
+        return jnp.array([x[0] + h * x[1], x[1] + h * u[0]])
+
+    sys_ = System(name="dint", dim_x=2, dim_u=1, h=h, step=step)
+    T = 20
+    lim = 0.4
+    params = IrsMpcParams(
+        Q=np.diag([10.0, 1.0]), Qd=np.diag([50.0, 5.0]), R=np.eye(1) * 1e-3,
+        x0=np.zeros(2), xd_trj=np.tile([1.0, 0.0], (T + 1, 1)),
+        u_trj_init=np.zeros((T, 1)),
+        u_bounds_rel=np.array([[-lim], [lim]]),
+        gradient_mode="exact", admm_iters=120, admm_rho=2.0,
+        smoothing=SmoothingConfig(num_samples=8))
+    solver = IrsMpc(sys_, params)
+    solver.iterate(4, verbose=False)
+    u = np.asarray(solver.u_trj)
+    du = u[1:] - u[:-1]
+    assert np.all(np.abs(du) <= lim + 1e-2), np.abs(du).max()
+    # The constraint must have been active at some point (task demands it).
+    assert np.max(np.abs(du)) > 0.5 * lim
+    # And the solve made real progress toward the goal.
+    assert solver.cost < 0.5 * solver.cost_lst[0]
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_native_active_set_oracle_kkt_and_gradient(seed):
     """qp_ineq_solve_grad: KKT optimality on feasible random QPs and the

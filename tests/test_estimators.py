@@ -101,3 +101,46 @@ def test_rng_reproducibility():
                                jax.random.PRNGKey(7), 1.0, cfg)
     np.testing.assert_array_equal(tv1.A, tv2.A)
     np.testing.assert_array_equal(tv1.B, tv2.B)
+
+
+def test_zero_order_B_A_source_first_order():
+    """zero_order_B with A from averaged first-order Jacobians (the MBP
+    reference's semantics, mbp_dynamics.py:387-389): the averaged-A option
+    must (a) reuse the same samples as the B fit, (b) smooth A when df/dx is
+    nonlinear in u (E[cos(u+du)] = cos(u) e^{-s^2/2} != cos(u)), and (c)
+    remain a valid affine model at the nominal via c."""
+    from irs_mpc_tpu.models.base import System
+
+    def step(x, u):
+        # df/dx = cos(u0) * I: nonlinear in u => averaging visibly smooths A.
+        return x * jnp.cos(u[0]) + jnp.array([u[0], 0.5 * u[0]])
+
+    sys = System(name="synth", dim_x=2, dim_u=1, h=0.1, step=step)
+    x = jnp.asarray([0.7, -0.3], jnp.float32)
+    u = jnp.asarray([0.2], jnp.float32)
+    x_trj = jnp.stack([x, sys.step(x, u)])
+    u_trj = u[None]
+    std_u = 0.5
+    cfg_exact = SmoothingConfig(num_samples=4000, std_u=std_u,
+                                decay=lambda it: 1.0)
+    cfg_first = SmoothingConfig(num_samples=4000, std_u=std_u,
+                                decay=lambda it: 1.0,
+                                zero_order_B_A_source="first_order")
+    key = jax.random.PRNGKey(3)
+    tv_e = estimate_tv_matrices(sys, "zero_order_B", x_trj, u_trj, key, 1.0,
+                                cfg_exact)
+    tv_f = estimate_tv_matrices(sys, "zero_order_B", x_trj, u_trj, key, 1.0,
+                                cfg_first)
+    # B fits share samples => identical.
+    np.testing.assert_allclose(tv_e.B, tv_f.B, atol=1e-6)
+    # Exact-at-nominal A is cos(u0) I; averaged A ~= cos(u0) e^{-s^2/2} I.
+    np.testing.assert_allclose(np.diag(np.asarray(tv_e.A[0])),
+                               np.cos(0.2), atol=1e-5)
+    np.testing.assert_allclose(np.diag(np.asarray(tv_f.A[0])),
+                               np.cos(0.2) * np.exp(-std_u ** 2 / 2),
+                               atol=2e-2)
+    # The averaged model still reproduces f at the nominal through c.
+    f_nom = sys.step_batch(x_trj[:-1], u_trj)
+    recon = (jnp.einsum("tij,tj->ti", tv_f.A, x_trj[:-1])
+             + jnp.einsum("tij,tj->ti", tv_f.B, u_trj) + tv_f.c)
+    np.testing.assert_allclose(recon, f_nom, atol=1e-5)
