@@ -79,7 +79,7 @@ def _kernel(n: int, m: int, iters: int, sigma: float,
     w_cap = 1e10    # must match qp._pdip_solve (see accuracy note there)
 
     def body(_, carry):
-        x_arr, s_arr, lam_arr = carry
+        x_arr, s_arr, lam_arr, x_keep = carry
         x = [x_arr[i] for i in range(n)]
         s = [s_arr[k] for k in range(m)]
         lam = [lam_arr[k] for k in range(m)]
@@ -152,12 +152,21 @@ def _kernel(n: int, m: int, iters: int, sigma: float,
         x_new = jnp.stack([x[i] + alpha * dx[i] for i in range(n)])
         s_new = jnp.stack([s[k] + alpha * ds[k] for k in range(m)])
         lam_new = jnp.stack([lam[k] + alpha * dlam[k] for k in range(m)])
-        return x_new, s_new, lam_new
 
-    x_arr, s_arr, lam_arr = jax.lax.fori_loop(
-        0, iters, body, (x_arr, s_arr, lam_arr))
+        # Per-lane last-finite-iterate tracking (mirrors qp._pdip_solve):
+        # the iteration runs unguarded — transient infs usually recover —
+        # but a lane whose iterate ends non-finite returns its last finite
+        # (partially converged) point instead of NaN.
+        ok = jnp.isfinite(x_new[0])
+        for i in range(1, n):
+            ok = ok & jnp.isfinite(x_new[i])
+        x_keep = jnp.where(ok[None], x_new, x_keep)
+        return x_new, s_new, lam_new, x_keep
+
+    x_arr, s_arr, lam_arr, x_keep = jax.lax.fori_loop(
+        0, iters, body, (x_arr, s_arr, lam_arr, x_arr))
     for i in range(n):
-        x_out_ref[i, 0] = x_arr[i]
+        x_out_ref[i, 0] = x_keep[i]
 
 
 def solve_qp_batched(P: Array, q: Array, C: Array, d: Array,

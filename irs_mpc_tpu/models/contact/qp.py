@@ -64,7 +64,7 @@ def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
     w_cap = W_CAP
 
     def body(carry, _):
-        x, s, lam = carry
+        x, s, lam, x_keep = carry
         mu = jnp.maximum(jnp.dot(s, lam) / m, mu_floor)
         r_d = P @ x + q + C.T @ lam
         r_p = C @ x + s - d
@@ -85,10 +85,21 @@ def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
             return jnp.minimum(1.0, 0.995 * jnp.min(ratio))
 
         alpha = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
-        return (x + alpha * dx, s + alpha * ds, lam + alpha * dlam), None
+        x_new = x + alpha * dx
+        # Robustness: the unpivoted f32 elimination can fail (H entries near
+        # ~W_CAP, a tiny pivot blows up) on ~1% of hard contact QPs.  The
+        # iteration runs unguarded — transient infs usually recover — but we
+        # track the last finite iterate so a problem that ENDS non-finite
+        # returns its best partially-converged point instead of NaN.
+        x_keep = jnp.where(jnp.all(jnp.isfinite(x_new)), x_new, x_keep)
+        return (x_new, s + alpha * ds, lam + alpha * dlam, x_keep), None
 
-    (x, s, lam), _ = jax.lax.scan(body, (x0, s0, lam0), None, length=iters)
-    return x, s, lam
+    (_, s, lam, x_keep), _ = jax.lax.scan(body, (x0, s0, lam0, x0), None,
+                                          length=iters)
+    # Duals can be non-finite on rescued problems; sanitize for the JVP.
+    s = jnp.where(jnp.isfinite(s), s, 1e-7)
+    lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
+    return x_keep, s, lam
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(4,))
