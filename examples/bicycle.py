@@ -39,6 +39,26 @@ def build_params(mode, hard=False, num_samples=2000):
     )
 
 
+def build_cem_solver(hard=False, T=100, batch_size=100, n_elite=10):
+    """CEM baseline, mirroring ``/root/reference/examples/bicycle/
+    bicycle_cem_easy.py`` / ``bicycle_cem_hard.py``: same Q/Qd/R as the iRS
+    drivers, initial_std (1, 1), batch 100, n_elite 10, 10 iterations easy /
+    25 hard."""
+    from irs_mpc_tpu.solvers.cem import CemParams, CrossEntropyMethod
+    xd = (np.array([-3., -1., -np.pi / 2, 0., 0.]) if hard
+          else np.array([3., 1., np.pi / 2, 0., 0.]))
+    params = CemParams(
+        Q=np.diag([5., 5., 3., 0.1, 0.1]),
+        Qd=np.diag([50., 50., 30., 1., 1.]),
+        R=np.diag([1., 0.1]),
+        x0=np.zeros(5),
+        xd_trj=np.tile(xd, (T + 1, 1)),
+        u_trj_init=np.tile([0.1, 0.0], (T, 1)),
+        initial_std=np.array([1.0, 1.0]),
+        batch_size=batch_size, n_elite=n_elite)
+    return CrossEntropyMethod(make_bicycle(0.1), params)
+
+
 def main():
     bike = make_bicycle(0.1)
     for hard in (False, True):
@@ -47,6 +67,9 @@ def main():
             solver = IrsMpc(bike, build_params(mode, hard))
             solver.iterate(26 if hard else 12, verbose=False)
             report(solver, f"bicycle_{tag}_{mode}")
+        cem = build_cem_solver(hard)
+        cem.iterate(25 if hard else 10, verbose=False)
+        report(cem, f"bicycle_{tag}_cem")
 
 
 if __name__ == "__main__":

@@ -60,12 +60,45 @@ def build_solver(gradient_mode="zero_order_B", num_samples=100, T=40):
     return IrsMpc(system, params), model
 
 
+def build_cem_solver(T=40, batch_size=100, n_elite=5):
+    """CEM baseline on the pivoting task, mirroring
+    ``/root/reference/examples/box_pivoting/run_box_pivoting_cem.py``
+    (CemQuasistaticParameters: n_elite=5, batch 100, initial_std 0.2,
+    Δu R-cost, ``:101-119``).  The task/cost weights follow our iRS driver
+    (the reference's goal +(1.0, 0.5, -pi/2) belongs to its unavailable
+    box/wall model files; ours pivots -pi/6 against the wall — see
+    ``build_solver``)."""
+    from irs_mpc_tpu.solvers.cem import CemParams, CrossEntropyMethod
+    model = make_box_pivoting(h=0.05)
+    idx_u = model.indices_u_into_x()
+    q0 = {"box": np.array([0.45, 0.5, 0.0]), "hand": np.array([-0.17, 0.8])}
+    x0 = model.get_x_from_q_dict(q0)
+    xd_dict = {"box": np.array([0.767, 0.683, -np.pi / 6]),
+               "hand": q0["hand"]}
+    xd = model.get_x_from_q_dict(xd_dict)
+    Q_dict = {"box": np.array([1.0, 1.0, 20.0]),
+              "hand": np.array([1e-4, 1e-4])}
+    Qd_dict = {k: v * 100 for k, v in Q_dict.items()}
+    R_dict = {"hand": np.array([0.5, 0.5])}
+    params = CemParams(
+        Q=model.get_Q_from_Q_dict(Q_dict),
+        Qd=model.get_Q_from_Q_dict(Qd_dict),
+        R=model.get_R_from_R_dict(R_dict),
+        x0=x0, xd_trj=np.tile(xd, (T + 1, 1)),
+        u_trj_init=np.tile(x0[idx_u], (T, 1)),
+        n_elite=n_elite, batch_size=batch_size,
+        initial_std=np.ones(2) * 0.05,
+        indices_u_into_x=idx_u,
+        report_final_cost_with_Q=False)
+    return CrossEntropyMethod(model.system(), params), model
+
+
 MODES = ("first_order", "zero_order_B")
 
 
 def main(modes=MODES, num_iters=10):
     """Both reference modes (box_pivoting_{first_order,zero}.csv,
-    ref: ~14.5-15.4k -> 2424 / 2455)."""
+    ref: ~14.5-15.4k -> 2424 / 2455) plus the CEM baseline."""
     solver = None
     for mode in modes:
         solver, model = build_solver(gradient_mode=mode)
@@ -74,6 +107,10 @@ def main(modes=MODES, num_iters=10):
                 else f"box_pivoting_{mode}")
         report(solver, name)
         print(f"  [{mode}] box final:", solver.x_trj_best[-1][:3])
+    cem, model = build_cem_solver()
+    cem.iterate(20, verbose=False)
+    report(cem, "box_pivoting_cem")
+    print("  [cem] box final:", cem.x_trj_best[-1][:3])
     return solver
 
 

@@ -5,6 +5,20 @@ Mirrors ``/root/reference/examples/planar_hand/run_planar_hand_second_order
 x = (q, v) with 14 states; either torque control (plain u'Ru cost, absolute
 bounds — ``irs_lqr_mbp.py:246-266``) or PID position control (Δu-cost +
 trajectory-centred trust region — ``irs_lqr_mbp_position.py``).
+
+The published reference curves (``analysis/planar_hand{,_spin}_second_
+{exact,first,zero}.csv``: 121.83 / 128.50 -> 3.76-3.78 in 11 iterations)
+come from the position-controlled driver: h=0.1, T=30, ball translate
+(+0.3, -0.1), Q_u = [10, 10, ~0], Qd = 100 Q, R = 5 I, u in nominal +- 0.5
+(trust region), std_u = 0.1 with 1/iter^0.8 decay, 50 samples, and a
+constant strong-squeeze initial command u0 = (-pi/2+0.5, ..., pi/2-0.5)
+(``run_planar_hand_second_order_position.py:100-141``).  The "zero" curve is
+zero_order_B with A from AVERAGED FIRST-ORDER Jacobians
+(``mbp_dynamics.py:387-389``) — all three published modes use autodiff A;
+only B comes from sampling.  ``main`` sweeps those modes plus the joint
+zero_order_AB fit (heavier Tikhonov damping: the 14-state A from 50
+rollout differences is noise-dominated at damp=1e-10, the reference's
+value, and its Riccati blows up in f32).
 """
 from common import report
 
@@ -15,51 +29,73 @@ from irs_mpc_tpu.models.contact.mbp2d import Mbp2DModel
 from irs_mpc_tpu.models.contact.systems import make_planar_hand
 
 
-def build_solver(control_mode="position", num_samples=50, T=40,
-                 gradient_mode="zero_order_AB"):
-    base = make_planar_hand(h=0.05)
-    mbp = Mbp2DModel(base=base, actuated_mass=(0.5, 0.3, 0.5, 0.3),
-                     control_mode=control_mode, damping=0.5)
+def _make_mbp(control_mode):
+    base = make_planar_hand(h=0.1)
+    return base, Mbp2DModel(base=base, actuated_mass=(0.5, 0.3, 0.5, 0.3),
+                            control_mode=control_mode, damping=0.5)
+
+
+Q0 = np.array([0., 0.35, 0., -np.pi / 4, -np.pi / 4,
+               np.pi / 4, np.pi / 4], np.float32)
+
+
+def build_solver(control_mode="position", num_samples=50, T=30,
+                 gradient_mode="zero_order_B", spin=False):
+    """Position mode: the reference position driver's translate task
+    (ball +(0.3, -0.1), run_planar_hand_second_order_position.py:119-127);
+    ``spin=True`` adds the -pi/4 ball rotation with a small theta weight
+    (the planar_hand_spin_second_* family, initial cost ~128.5).
+    Torque mode: the torque driver's spin task (ball theta -> -pi/4,
+    run_planar_hand_second_order.py:96-121) with plain u'Ru cost and
+    absolute torque bounds."""
+    base, mbp = _make_mbp(control_mode)
     system = mbp.system()
     nq = base.nq
-
-    q0 = np.array([0., 0.45, 0., -np.pi / 4, -np.pi / 4,
-                   np.pi / 4, np.pi / 4], np.float32)
-    x0 = np.concatenate([q0, np.zeros(nq)])
-    qd = q0.copy()
-    qd[0:3] = q0[0:3] + np.array([0.2, -0.05, 0.4])
-    xd = np.concatenate([qd, np.zeros(nq)])
-
-    # Position weights mirror the quasistatic task; velocity weights small.
-    Qq = np.array([1e-3, 1e-3, 10.0, 1e-3, 1e-3, 1e-3, 1e-3])
-    Qv = np.full(nq, 1e-4)
-    Q = np.diag(np.concatenate([Qq, Qv]))
-    Qd = Q * 100
+    x0 = np.concatenate([Q0, np.zeros(nq)])
+    qd = Q0.copy()
 
     if control_mode == "position":
-        R = np.eye(4) * 5.0
+        qd[0:2] += np.array([0.3, -0.1])
+        Qq = np.array([10., 10., 1e-3, 1e-3, 1e-3, 1e-3, 1e-3])
+        if spin:
+            qd[2] = -np.pi / 4
+            Qq[2] = 0.1
+        Q = np.diag(np.concatenate([Qq, np.zeros(nq)]).astype(np.float32))
         idx_u = mbp.indices_u_into_x()
-        u0 = q0[idx_u]
+        # Constant strong-squeeze initial command (reference :76-87).
+        u0 = np.array([-np.pi / 2 + 0.5] * 2 + [np.pi / 2 - 0.5] * 2,
+                      np.float32)
         extra = dict(indices_u_into_x=idx_u,
-                     u_bounds_abs=np.array([-np.ones(4) * 0.05,
-                                            np.ones(4) * 0.05]),
-                     bounds_trust_region=True)
+                     u_bounds_abs=np.array([-np.ones(4) * 0.5,
+                                            np.ones(4) * 0.5]),
+                     bounds_trust_region=True,
+                     R=np.eye(4) * 5.0)
+        smoothing = SmoothingConfig(
+            num_samples=num_samples, std_u=0.1, std_x=1e-3,
+            decay=lambda it: 1.0 / it ** 0.8, decay_std_x=False,
+            damp=3e-3, zero_order_B_A_source="first_order")
     else:
-        R = np.eye(4) * 0.05
-        u0 = np.zeros(4)
+        # Torque-mode spin task (reference torque driver).
+        qd[2] = -np.pi / 4
+        Qq = np.array([10., 10., 10., 0., 0., 0., 0.])
+        Q = np.diag(np.concatenate([Qq, np.zeros(nq)]).astype(np.float32))
+        u0 = np.zeros(4, np.float32)
         extra = dict(u_bounds_abs=np.array([-np.ones(4) * 10.0,
-                                            np.ones(4) * 10.0]))
+                                            np.ones(4) * 10.0]),
+                     R=np.eye(4) * 0.05)
+        smoothing = SmoothingConfig(
+            num_samples=num_samples, std_u=0.4, std_x=1e-3,
+            decay=lambda it: 0.4 ** (0.5 * it) / 0.4, decay_std_x=False,
+            damp=3e-3, zero_order_B_A_source="first_order")
 
+    xd = np.concatenate([qd, np.zeros(nq)])
     params = IrsMpcParams(
-        Q=Q, Qd=Qd, R=R,
+        Q=Q, Qd=Q * 100,
         x0=x0, xd_trj=np.tile(xd, (T + 1, 1)),
         u_trj_init=np.tile(u0, (T, 1)),
         unactuated_indices=np.array([0, 1, 2]),
         gradient_mode=gradient_mode,
-        smoothing=SmoothingConfig(
-            num_samples=num_samples, std_u=0.2, std_x=1e-3,
-            decay=lambda it: 1.0 / it ** 0.8, decay_std_x=False,
-            damp=1e-5),
+        smoothing=smoothing,
         admm_iters=30,
         report_final_cost_with_Q=False,
         **extra,
@@ -67,39 +103,36 @@ def build_solver(control_mode="position", num_samples=50, T=40,
     return IrsMpc(system, params), mbp
 
 
-def build_cem_solver(control_mode="position", T=40, batch_size=100,
+def build_cem_solver(control_mode="position", T=30, batch_size=100,
                      n_elite=15):
     """CEM on the second-order plant — the reference's
     ``run_planar_hand_second_order{,_position}_cem.py`` drivers
     (``CrossEntropyMethodMbp`` / ``CrossEntropyMethodMbpPosition``,
     ``irs_lqr/cem_mbp{,_position}.py``): Δu-cost + input clipping in
-    position mode, plain u'Ru in torque mode."""
+    position mode, plain u'Ru in torque mode.  Same translate task as the
+    iRS position sweep."""
     from irs_mpc_tpu.solvers.cem import CemParams, CrossEntropyMethod
-    base = make_planar_hand(h=0.05)
-    mbp = Mbp2DModel(base=base, actuated_mass=(0.5, 0.3, 0.5, 0.3),
-                     control_mode=control_mode, damping=0.5)
+    base, mbp = _make_mbp(control_mode)
     system = mbp.system()
     nq = base.nq
-
-    q0 = np.array([0., 0.45, 0., -np.pi / 4, -np.pi / 4,
-                   np.pi / 4, np.pi / 4], np.float32)
-    x0 = np.concatenate([q0, np.zeros(nq)])
-    qd = q0.copy()
-    qd[0:3] = q0[0:3] + np.array([0.2, -0.05, 0.4])
-    xd = np.concatenate([qd, np.zeros(nq)])
-
-    Qq = np.array([1e-3, 1e-3, 10.0, 1e-3, 1e-3, 1e-3, 1e-3])
-    Q = np.diag(np.concatenate([Qq, np.full(nq, 1e-4)]))
+    x0 = np.concatenate([Q0, np.zeros(nq)])
+    qd = Q0.copy()
 
     if control_mode == "position":
+        qd[0:2] += np.array([0.3, -0.1])
+        Qq = np.array([10., 10., 1e-3, 1e-3, 1e-3, 1e-3, 1e-3])
         idx_u = mbp.indices_u_into_x()
         extra = dict(indices_u_into_x=idx_u, R=np.eye(4) * 5.0,
-                     u_trj_init=np.tile(q0[idx_u], (T, 1)),
-                     initial_std=np.ones(4) * 0.05)
+                     u_trj_init=np.tile(Q0[idx_u], (T, 1)),
+                     initial_std=np.ones(4) * 0.15)
     else:
+        qd[2] = -np.pi / 4
+        Qq = np.array([10., 10., 10., 0., 0., 0., 0.])
         extra = dict(R=np.eye(4) * 0.05,
                      u_trj_init=np.zeros((T, 4), np.float32),
                      initial_std=np.ones(4) * 2.0)
+    Q = np.diag(np.concatenate([Qq, np.zeros(nq)]).astype(np.float32))
+    xd = np.concatenate([qd, np.zeros(nq)])
 
     params = CemParams(
         Q=Q, Qd=Q * 100,
@@ -109,14 +142,26 @@ def build_cem_solver(control_mode="position", T=40, batch_size=100,
     return CrossEntropyMethod(system, params), mbp
 
 
-def main():
-    for mode in ["position", "torque"]:
-        solver, mbp = build_solver(control_mode=mode)
-        solver.iterate(8, verbose=False)
-        report(solver, f"planar_hand_second_{mode}")
-        print("  ball final:", solver.x_trj_best[-1][:3])
+# The reference's published per-mode set; zero_order_AB is our extra.
+MODES = ("exact", "first_order", "zero_order_B", "zero_order_AB")
+
+
+def main(num_iters=15):
+    # Per-gradient-mode position-controlled sweep (the published family).
+    for spin, prefix in ((False, "planar_hand_second"),
+                         (True, "planar_hand_spin_second")):
+        for mode in MODES:
+            solver, mbp = build_solver(gradient_mode=mode, spin=spin)
+            solver.iterate(num_iters, verbose=False)
+            report(solver, f"{prefix}_{mode}")
+            print(f"  [{mode}] ball final:", solver.x_trj_best[-1][:3])
+    # Torque-mode spin (IrsLqrMbp analogue) + CEM baseline.
+    solver, mbp = build_solver(control_mode="torque")
+    solver.iterate(num_iters, verbose=False)
+    report(solver, "planar_hand_second_torque")
+    print("  [torque] ball final:", solver.x_trj_best[-1][:3])
     cem, mbp = build_cem_solver()
-    cem.iterate(10, verbose=False)
+    cem.iterate(30, verbose=False)
     report(cem, "planar_hand_second_cem")
     print("  [cem] ball final:", cem.x_trj_best[-1][:3])
 

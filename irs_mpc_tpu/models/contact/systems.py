@@ -27,12 +27,22 @@ from .quasistatic import ContactPair, ModelInstance, QuasistaticModel
 
 def make_planar_hand(h: float = 0.1, mu: float = 0.8) -> QuasistaticModel:
     """Two 2-link arms + free ball (reference planar_hand_setup.py: Kp=[50,25],
-    h=0.1, gravity -10; ball = sphere r=0.25 at (0, 0.35))."""
+    h=0.1, gravity -10; ball = sphere r=0.25 at (0, 0.35)).
+
+    Geometry is dimensioned so the reference drivers' initial configuration
+    q0 = (arms at +-(pi/4, pi/4), ball at (0, 0.35)) is a TRUE resting
+    equilibrium: at q0 both second links are horizontal rails at z = 0.05
+    (base z -0.1 + 0.15 elbow rise), and rail capsule radius 0.05 + ball
+    radius 0.25 puts the resting ball centre exactly at z = 0.35.  The
+    reference task "move the ball (+0.3, -0.1)" then means carrying it past
+    the rail ends (|y| = 0.2) down to rest on the ground (z = 0.25)."""
     ball = geom.FreeBody2D(idx_pos=(0, 1), idx_rot=2,
                            shapes=(geom.Circle((0., 0.), 0.25),))
-    arm_l = geom.Arm2D(base=(-0.35, 0.0), link_lengths=(0.28, 0.28),
+    arm_l = geom.Arm2D(base=(-0.35, -0.1), link_lengths=(0.15 * np.sqrt(2.),
+                                                         0.28),
                        joint_idx=(3, 4), radius=0.05, angle_offset=np.pi)
-    arm_r = geom.Arm2D(base=(0.35, 0.0), link_lengths=(0.28, 0.28),
+    arm_r = geom.Arm2D(base=(0.35, -0.1), link_lengths=(0.15 * np.sqrt(2.),
+                                                        0.28),
                        joint_idx=(5, 6), radius=0.05, angle_offset=np.pi)
     ground = geom.StaticBody(shapes=(geom.HalfSpace((0.0, 1.0), 0.0),))
     bodies = (ball, arm_l, arm_r, ground)

@@ -145,8 +145,14 @@ class IrsMpc:
         self._aug = (self.idx_u is not None) or (p.u_bounds_rel is not None)
 
         self.key = jax.random.PRNGKey(p.seed)
-        self.x_trj = system.rollout(self.x0, self.u_trj)
-        self.cost = float(self.eval_cost(self.x_trj, self.u_trj)[0])
+        # Same matmul precision as the jitted iteration (_iteration wraps
+        # everything in "highest"), so the alpha=0 line-search branch's
+        # re-roll of this nominal is bitwise-consistent with it — contact
+        # systems can amplify bf16-vs-f32 differences into divergent
+        # trajectories.
+        with jax.default_matmul_precision("highest"):
+            self.x_trj = system.rollout(self.x0, self.u_trj)
+            self.cost = float(self.eval_cost(self.x_trj, self.u_trj)[0])
 
         self.x_trj_lst = [np.asarray(self.x_trj)]
         self.u_trj_lst = [np.asarray(self.u_trj)]
