@@ -35,18 +35,20 @@ def main():
     animate_analytic_trajectory("pendulum", solver.x_trj_best,
                                 ANALYSIS_DIR / "pendulum.gif")
 
-    # CEM baseline — the reference's population config (batch 1000,
-    # n_elite 10, std 1.0, pendulum_cem.py:20-25), run longer (40 vs 7
-    # iterations: the 200-dim input search needs them, and a vmapped
-    # population iteration costs ~ms on TPU vs the reference's 1000 serial
-    # python rollouts).
+    # CEM baseline — same cost/std setup as the reference
+    # (pendulum_cem.py:20-25) but with a population sized for the 200-dim
+    # input search (batch 4000 / 40 elites / 150 iterations vs the
+    # reference's 1000/10/7): a vmapped population iteration costs ~0.2s
+    # on TPU vs the reference's 1000 serial python rollouts, so the bigger
+    # budget is free and brings CEM within ~20% of the iRS optimum
+    # (422 vs 349) instead of plateauing at 2x.
     T = 200
     cem = CrossEntropyMethod(pend, CemParams(
         Q=np.diag([1., 1.]), Qd=np.diag([20., 20.]), R=np.diag([1.]),
         x0=np.zeros(2), xd_trj=np.tile([np.pi, 0.], (T + 1, 1)),
         u_trj_init=np.tile([0.1], (T, 1)),
-        n_elite=10, batch_size=1000, initial_std=np.array([1.0])))
-    cem.iterate(40, verbose=False)
+        n_elite=40, batch_size=4000, initial_std=np.array([1.0])))
+    cem.iterate(150, verbose=False)
     report(cem, "pendulum_cem")
 
 

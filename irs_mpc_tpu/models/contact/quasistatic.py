@@ -77,6 +77,21 @@ class QuasistaticModel:
     # name to (2,) direction selection is implicit: translation dofs get
     # m*g on the z component; rotation dofs get 0.
     qp_iters: int = 30
+    # Contact time-stepping scheme (the two models contrasted by the
+    # reference's motivating study, examples/box_pushing/analysis/
+    # box_on_box.py:11-34):
+    #   "anitescu" — convex relaxation: every detected pair contributes cone
+    #     rows G dq >= -phi, so a *positive* gap still resists a step that
+    #     would close it (force ramps up through the gap — the boundary
+    #     layer the study plots as a ramp).
+    #   "lcp" — exact velocity-level complementarity, one-sided: only
+    #     touching/penetrating pairs (phi <= 0) are active, with rows
+    #     G dq >= 0.  Complementarity + stationarity + feasibility of that
+    #     system ARE the KKT conditions of the same QP with masked rows and
+    #     zeroed rhs, so it reuses the PDIP solver with static shapes.  The
+    #     study's step-function: no force at any positive gap, full reaction
+    #     once in contact.
+    contact_model: str = "anitescu"
 
     # ---- bookkeeping (mirrors QuasistaticDynamics marshalling) ----------
 
@@ -200,16 +215,33 @@ class QuasistaticModel:
 
     # ---- the step -------------------------------------------------------
 
+    def _constraint_rows(self, q: Array):
+        """Contact rows in the solver's C dq <= d form, per contact_model."""
+        G, phi = self.contact_rows(q)
+        if G is None:
+            return None, None
+        if self.contact_model == "lcp":
+            # One-sided scheme: separated pairs (phi > 0) are vacuous rows
+            # (0' dq <= 1, slack stays ~1 so the PDIP dual vanishes);
+            # touching/penetrating pairs block relative motion at the
+            # velocity level (G dq >= 0 — no pushout term, matching the
+            # study's constant-reaction branch for phi < 0).
+            active = (phi <= 0.0)[:, None]
+            C = jnp.where(active, -G, 0.0)
+            d = jnp.where(phi <= 0.0, 0.0, 1.0)
+            return C, d
+        # Anitescu: -G dq <= phi for every detected pair.
+        return -G, phi
+
     def step(self, x: Array, u: Array) -> Array:
         """One quasistatic step: q_next = q + argmin QP.  Differentiable."""
         q = x
         P, b = self._hessian_and_bias(q, u)
-        G, phi = self.contact_rows(q)
-        if G is None:
+        C, d = self._constraint_rows(q)
+        if C is None:
             dq = -jnp.linalg.solve(P + 1e-9 * jnp.eye(self.nq), b)
         else:
-            # min 1/2 dq'P dq + b'dq  s.t.  -G dq <= phi
-            dq = solve_qp(P, b, -G, phi, self.qp_iters)
+            dq = solve_qp(P, b, C, d, self.qp_iters)
         return q + dq
 
     def system(self, pallas_batch: bool = False) -> System:
@@ -227,8 +259,8 @@ class QuasistaticModel:
 
             def step_batch_fn(x, u):
                 P, b = _jax.vmap(self._hessian_and_bias)(x, u)
-                G, phi = _jax.vmap(self.contact_rows)(x)
-                dq = solve_qp_batched(P, b, -G, phi, iters=self.qp_iters)
+                C, d = _jax.vmap(self._constraint_rows)(x)
+                dq = solve_qp_batched(P, b, C, d, iters=self.qp_iters)
                 return x + dq
 
         return System(name=self.name, dim_x=self.nq, dim_u=self.dim_u,

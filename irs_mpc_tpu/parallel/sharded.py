@@ -127,13 +127,21 @@ def sharded_estimate_tv_matrices(
             return fit_from_moments(G, M)
 
         if mode == "zero_order_B":
-            fd = system.step_batch(
-                jnp.broadcast_to(x, (S_local,) + x.shape), u[None] + du)
+            x_rep = jnp.broadcast_to(x, (S_local,) + x.shape)
+            fd = system.step_batch(x_rep, u[None] + du)
             G = jax.lax.psum(du.T @ du, "sample")
             M = jax.lax.psum(du.T @ (fd - f0[None]), "sample")
             B_hat = fit_from_moments(G, M)
-            A_exact = system.jacobian_xu(x, u)[:, :n]
-            return jnp.concatenate([A_exact, B_hat], axis=1)
+            if cfg.zero_order_B_A_source == "first_order":
+                # MBP reference semantics (mbp_dynamics.py:387-389): A from
+                # Jacobians averaged over the same u-samples.
+                A_part = jnp.sum(
+                    system.jacobian_xu_batch(x_rep, u[None] + du)[:, :, :n],
+                    axis=0)
+                A_hat = jax.lax.psum(A_part, "sample") / (S_local * n_sample)
+            else:
+                A_hat = system.jacobian_xu(x, u)[:, :n]
+            return jnp.concatenate([A_hat, B_hat], axis=1)
 
         if mode == "zero_order_AB":
             fd = system.step_batch(x[None] + dx, u[None] + du)

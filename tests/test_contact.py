@@ -333,3 +333,47 @@ def test_contact_qp_and_gradient_vs_native_active_set_oracle():
         assert err < 0.05, (trial, err)
         checked += 1
     assert checked == 6
+
+
+def test_lcp_contact_model_one_sided():
+    """The LCP (exact complementarity) scheme vs Anitescu's convex
+    relaxation — the two contact models the reference's motivating study
+    contrasts (examples/box_pushing/analysis/box_on_box.py:57-73):
+    LCP reacts only at phi <= 0 (step function), Anitescu ramps force
+    through a positive gap that the commanded step would close."""
+    import dataclasses
+
+    import jax
+    from irs_mpc_tpu.models.contact.systems import make_box_pushing
+
+    ani = make_box_pushing(h=0.1)
+    lcp = dataclasses.replace(ani, contact_model="lcp")
+    # Hand below the box with a positive gap.
+    x = jnp.asarray([0., 0.5, 0., 0., -0.13], jnp.float32)
+
+    # Free space: both schemes identical (no active rows).
+    u_free = jnp.asarray([0.05, -0.2], jnp.float32)
+    np.testing.assert_allclose(np.asarray(ani.step(x, u_free)),
+                               np.asarray(lcp.step(x, u_free)), atol=1e-4)
+
+    # Command that closes the gap and then some: Anitescu's boundary layer
+    # moves the box; LCP does not (gap still positive at the start).
+    u_push = jnp.asarray([0., -0.13 + 0.1], jnp.float32)
+    box_z_ani = float(ani.step(x, u_push)[1])
+    box_z_lcp = float(lcp.step(x, u_push)[1])
+    assert box_z_ani > 0.51, box_z_ani
+    assert abs(box_z_lcp - 0.5) < 1e-4, box_z_lcp
+
+    # LCP's exact gradient is one-sided: zero at a positive gap (this is
+    # precisely why the bundled/smoothed gradient is needed).
+    J = jax.jacfwd(lcp.step, argnums=1)(x, jnp.asarray([0., -0.13]))
+    assert bool(jnp.all(jnp.isfinite(J)))
+    assert abs(float(J[1, 1])) < 1e-6
+
+    # Penetrating start: both react; LCP blocks at the velocity level
+    # (no -phi pushout), so it ends deeper than Anitescu.
+    xpen = x.at[4].set(-0.02)
+    u = jnp.asarray([0., 0.05], jnp.float32)
+    z_ani = float(ani.step(xpen, u)[1])
+    z_lcp = float(lcp.step(xpen, u)[1])
+    assert z_ani > z_lcp > 0.5, (z_ani, z_lcp)

@@ -112,3 +112,37 @@ def test_sharded_contact_estimation():
     assert bool(jnp.all(jnp.isfinite(tv.B)))
     # Hand command must move hand positions (B rows 3:5 ~ identity-ish).
     assert float(jnp.mean(jnp.abs(tv.B[:, 3:, :]))) > 0.2
+
+
+def test_sharded_zero_order_B_first_order_A_source():
+    """The sharded path honors zero_order_B_A_source="first_order" (the MBP
+    reference's A-from-averaged-first-order semantics,
+    mbp_dynamics.py:387-389), matching the single-device estimator.  Needs
+    a system whose df/dx depends on u — control-affine mechanical systems
+    (pendulum, bicycle) make the two A sources coincide — so uses a
+    synthetic multiplicative-control system."""
+    from irs_mpc_tpu.models.base import System
+    h = 0.1
+
+    def step(x, u):
+        return x + h * jnp.tanh(x * u[0] + jnp.flip(x) * u[1])
+
+    sys = System(name="mult_ctl", dim_x=3, dim_u=2, h=h, step=step)
+    T = 20
+    u_trj = jnp.tile(jnp.asarray([0.5, 0.2]), (T, 1))
+    x_trj = sys.rollout(0.1 * jnp.arange(3, dtype=jnp.float32), u_trj)
+    cfg = SmoothingConfig(num_samples=4000, std_x=0.3, std_u=0.5,
+                          zero_order_B_A_source="first_order")
+    mesh = make_mesh(4, 2)
+    tv_s = sharded_estimate_tv_matrices(sys, "zero_order_B", x_trj, u_trj,
+                                        jax.random.PRNGKey(0), 1.0, cfg, mesh)
+    tv_r = estimate_tv_matrices(sys, "zero_order_B", x_trj, u_trj,
+                                jax.random.PRNGKey(0), 1.0, cfg)
+    np.testing.assert_allclose(tv_s.A, tv_r.A, atol=5e-2)
+    np.testing.assert_allclose(tv_s.B, tv_r.B, atol=5e-2)
+    # And it differs from the exact-A default (averaged-over-u-samples A
+    # vs the Jacobian at the nominal).
+    tv_exact_A = sharded_estimate_tv_matrices(
+        sys, "zero_order_B", x_trj, u_trj, jax.random.PRNGKey(0), 1.0,
+        SmoothingConfig(num_samples=4000, std_x=0.3, std_u=0.5), mesh)
+    assert not np.allclose(tv_s.A, tv_exact_A.A, atol=1e-4)
