@@ -81,8 +81,12 @@ def main():
     # contact engine).  Sweep the hand start height through the contact
     # boundary with a fixed upward command; plot the box response under
     # each contact model and its Monte-Carlo-smoothed (bundled) version.
-    lcp_model = dataclasses.replace(model, contact_model="lcp")
-    sys_lcp = lcp_model.system()
+    # Deep-overlap QPs (hand start above the boundary + full push) need
+    # more PDIP iterations than the production budget to trace a clean
+    # "true dynamics" curve.
+    deep = dataclasses.replace(model, qp_iters=80)
+    sys_deep = deep.system()
+    sys_lcp = dataclasses.replace(deep, contact_model="lcp").system()
     n_pts, n_mc, std_w = 81, 800, 0.02
     hand_z = jnp.linspace(-0.20, -0.06, n_pts)     # box bottom at -0.05
     push = 0.06                                    # commanded upward step
@@ -97,7 +101,7 @@ def main():
     w = std_w * jax.random.normal(key, (n_mc,))
     # One flat (n_mc * n_pts) batch per model — a single step_batch call.
     z_flat = (hand_z[None, :] + w[:, None]).reshape(-1)
-    for tag, s in (("Anitescu", sys_), ("LCP", sys_lcp)):
+    for tag, s in (("Anitescu", sys_deep), ("LCP", sys_lcp)):
         true_c = jax.jit(lambda z: response(s, z))(hand_z)
         bundle = jax.jit(lambda z: response(s, z))(z_flat)
         bundle = jnp.mean(bundle.reshape(n_mc, n_pts), axis=0)

@@ -101,6 +101,11 @@ def main(modes=MODES, num_iters=12):
         report(solver, f"planar_hand_spin_{mode}")
         print(f"  [{mode}] ball final:", solver.x_trj_best[-1][:3],
               "(goal", GOAL, ")")
+    # CEM baseline (run_planar_hand_spin_cem.py analogue).
+    cem, model = build_cem_solver()
+    cem.iterate(30, verbose=False)
+    report(cem, "planar_hand_spin_cem")
+    print("  [cem] ball final:", cem.x_trj_best[-1][:3])
     return solver
 
 

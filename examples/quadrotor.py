@@ -56,10 +56,14 @@ def main():
         R=np.eye(4),
         x0=np.zeros(12), xd_trj=helix_xd(T),
         u_trj_init=np.tile([2.0] * 4, (T, 1)),
-        # Reference config (quadrotor_cem.py:29-31): tiny std — larger
-        # population noise diverges the RPY dynamics over 200 steps.
-        n_elite=10, batch_size=100, initial_std=np.ones(4) * 0.01))
-    cem.iterate(20, verbose=False)
+        # Reference cost setup (quadrotor_cem.py:29-31) with the
+        # population scaled for the 800-dim input search (4000/40/200 vs
+        # the reference's 100/10/7 serial python rollouts; std 0.02 —
+        # larger noise diverges the RPY dynamics over 200 steps, smaller
+        # stalls).  Reaches ~25k vs iRS's 3.3k — the expected CEM-vs-
+        # gradient gap at this dimensionality.
+        n_elite=40, batch_size=4000, initial_std=np.ones(4) * 0.02))
+    cem.iterate(200, verbose=False)
     report(cem, "quadrotor_cem")
 
 

@@ -52,3 +52,23 @@ def test_carrots_builds_small():
     s, model = build_solver(num_samples=5, T=4, n_pieces=6)
     s.iterate(1, verbose=False)
     assert np.isfinite(s.cost)
+
+
+def test_bicycle_cem_descends():
+    """CEM baselines exist for bicycle easy/hard (reference
+    bicycle_cem_{easy,hard}.py)."""
+    from bicycle import build_cem_solver
+    cem = build_cem_solver(hard=True, T=40, batch_size=60, n_elite=6)
+    c0 = cem.cost
+    cem.iterate(4, verbose=False)
+    assert cem.cost_best < c0
+
+
+def test_box_pivoting_cem_descends():
+    """CEM baseline on the pivoting task (reference
+    run_box_pivoting_cem.py)."""
+    from box_pivoting import build_cem_solver
+    cem, _ = build_cem_solver(T=15, batch_size=40, n_elite=4)
+    c0 = cem.cost
+    cem.iterate(3, verbose=False)
+    assert cem.cost_best < c0
