@@ -76,7 +76,7 @@ def build_solver(gradient_mode="zero_order_B", num_samples=100, T=60,
 MODES = ("exact", "first_order", "zero_order_B", "zero_order_AB")
 
 
-def main(modes=MODES, num_iters=10):
+def main(modes=MODES, num_iters=21):
     """Sweep the reference's four gradient modes, saving one cost curve per
     mode (box_pushing_{exact,first_order,zero_order_B,zero_order_AB}.csv,
     the reference's §6 curves where exact is stuck flat at ~112 while the

@@ -75,7 +75,7 @@ def build_solver(gradient_mode="zero_order_B", num_samples=50, T=30,
 MODES = ("exact", "first_order", "zero_order_B", "zero_order_AB")
 
 
-def main(modes=MODES, num_iters=10):
+def main(modes=MODES, num_iters=21):
     """Sweep the reference's four gradient modes, saving one cost curve per
     mode (planar_hand_{exact,first_order,zero_order_B,zero_order_AB}.csv,
     the reference's §6 curves where exact gets stuck at ~61 while the

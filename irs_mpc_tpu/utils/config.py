@@ -32,6 +32,10 @@ class ExperimentConfig:
     parallel_riccati: bool = False
     mesh_sample_shards: int = 1
     mesh_knot_shards: int = 1
+    # Contact time-stepping scheme for the quasistatic systems:
+    # "anitescu" (convex relaxation) or "lcp" (exact one-sided
+    # complementarity) — see models/contact/quasistatic.QuasistaticModel.
+    contact_model: str = "anitescu"
 
     def to_json(self, path) -> Path:
         path = Path(path)
@@ -52,6 +56,9 @@ class ExperimentConfig:
 
 
 SYSTEM_REGISTRY = {}
+# Quasistatic model builders (returning QuasistaticModel, not System) so
+# make_system can apply contact_model overrides.
+CONTACT_SYSTEMS = {}
 
 
 def register_system(name: str):
@@ -61,14 +68,22 @@ def register_system(name: str):
     return deco
 
 
-def make_system(name: str, h: float):
-    """Build a system by registry name (analytic + contact families)."""
+def make_system(name: str, h: float, contact_model: str = "anitescu"):
+    """Build a system by registry name (analytic + contact families).
+
+    ``contact_model`` selects the quasistatic time-stepping scheme
+    ("anitescu" | "lcp"); it is ignored by the analytic systems."""
     if not SYSTEM_REGISTRY:
         _populate_registry()
     if name not in SYSTEM_REGISTRY:
         raise KeyError(f"unknown system {name!r}; known: "
                        f"{sorted(SYSTEM_REGISTRY)}")
-    return SYSTEM_REGISTRY[name](h)
+    fn = SYSTEM_REGISTRY[name]
+    if contact_model != "anitescu" and name in CONTACT_SYSTEMS:
+        import dataclasses as _dc
+        return _dc.replace(CONTACT_SYSTEMS[name](h),
+                           contact_model=contact_model).system()
+    return fn(h)
 
 
 def _populate_registry():
@@ -89,4 +104,11 @@ def _populate_registry():
         "plate_pickup":
             lambda h: contact_systems.make_plate_pickup(h).system(),
         "carrots": lambda h: contact_systems.make_carrots(h=h).system(),
+    })
+    CONTACT_SYSTEMS.update({
+        "planar_hand": contact_systems.make_planar_hand,
+        "box_pushing": contact_systems.make_box_pushing,
+        "box_pivoting": contact_systems.make_box_pivoting,
+        "plate_pickup": contact_systems.make_plate_pickup,
+        "carrots": lambda h: contact_systems.make_carrots(h=h),
     })

@@ -95,3 +95,21 @@ def test_solver_registry_aliases():
     assert get_solver("riccati").kind == "riccati"
     with pytest.raises(ValueError):
         get_solver("mystery")
+
+
+def test_make_system_contact_model_override():
+    """make_system("X", h, contact_model="lcp") builds the LCP-mode
+    quasistatic step; analytic systems ignore the flag."""
+    import jax.numpy as jnp
+    ani = make_system("box_pushing", 0.1)
+    lcp = make_system("box_pushing", 0.1, contact_model="lcp")
+    # Boundary-layer probe: Anitescu reacts to a gap-closing command,
+    # LCP does not (gap still positive at the start of the step).
+    x = jnp.asarray([0., 0.5, 0., 0., -0.13], jnp.float32)
+    u = jnp.asarray([0., -0.03], jnp.float32)
+    assert float(ani.step(x, u)[1]) > 0.5 + 1e-3
+    assert abs(float(lcp.step(x, u)[1]) - 0.5) < 1e-4
+    assert make_system("pendulum", 0.05, contact_model="lcp").name == \
+        "pendulum"
+    cfg = ExperimentConfig(system="box_pushing", contact_model="lcp")
+    assert cfg.contact_model == "lcp"
