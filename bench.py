@@ -43,14 +43,35 @@ def emit(metric, value, unit, vs_baseline, **extra):
     print(json.dumps(line), flush=True)
 
 
-def _timeit(fn, n_reps, block):
-    fn()  # warm
+N_BLOCKS = 5  # median-of-N timing blocks per metric (variance honesty)
+
+
+def _timeit(fn, n_reps, block, n_blocks=N_BLOCKS):
+    """Median-of-``n_blocks`` mean time per call; each block times ``n_reps``
+    calls.  Returns (median, t_min, t_max) over blocks so every emitted
+    metric carries its own run-to-run spread (the shared TPU chip shows up
+    to ~35% variance; a single sample cannot distinguish regression from
+    noise — round-2 verdict item)."""
+    fn()  # warm (compile)
     block(fn())
-    t0 = time.perf_counter()
-    for _ in range(n_reps):
-        out = fn()
-    block(out)
-    return (time.perf_counter() - t0) / n_reps
+    ts = []
+    for _ in range(n_blocks):
+        t0 = time.perf_counter()
+        for _ in range(n_reps):
+            out = fn()
+        block(out)
+        ts.append((time.perf_counter() - t0) / n_reps)
+    ts.sort()
+    return ts[len(ts) // 2], ts[0], ts[-1]
+
+
+def spread_fields(dt_med, dt_min, dt_max, to_value):
+    """Value-space spread fields for a time-per-call triple.  ``to_value``
+    maps a dt to the metric's value (throughputs invert, so min/max swap)."""
+    vals = sorted([to_value(dt_min), to_value(dt_max)])
+    return dict(value_min=round(float(vals[0]), 4),
+                value_max=round(float(vals[1]), 4),
+                n_blocks=N_BLOCKS)
 
 
 def build_planar_hand_solver():
@@ -154,14 +175,16 @@ def bench_pallas_qp():
         f"Pallas QP worse than XLA path: p90 {p90_pl} vs {p90_xla}"
     assert p50_agree < 2e-2, f"Pallas/XLA bulk disagreement: p50 {p50_agree}"
 
-    t_xla = _timeit(xla_fn, 20, jax.block_until_ready)
-    t_pl = _timeit(pl_fn, 20, jax.block_until_ready)
+    t_xla, t_xla_lo, t_xla_hi = _timeit(xla_fn, 20, jax.block_until_ready)
+    t_pl, t_pl_lo, t_pl_hi = _timeit(pl_fn, 20, jax.block_until_ready)
     emit("pallas_qp_speedup_vs_xla", t_xla / t_pl,
          "x (2048 planar-hand contact QPs, non-interpreted)",
          t_xla / t_pl, p90_err_vs_converged=round(p90_pl, 5),
          p90_err_xla_vs_converged=round(p90_xla, 5),
          p50_agreement=round(p50_agree, 6),
-         xla_ms=round(t_xla * 1e3, 3), pallas_ms=round(t_pl * 1e3, 3))
+         xla_ms=round(t_xla * 1e3, 3), pallas_ms=round(t_pl * 1e3, 3),
+         value_min=round(t_xla_lo / t_pl_hi, 4),
+         value_max=round(t_xla_hi / t_pl_lo, 4), n_blocks=N_BLOCKS)
 
 
 def bench_pallas_riccati():
@@ -194,12 +217,16 @@ def bench_pallas_riccati():
     rel_err = err_K / scale
     assert rel_err < 1e-3, f"Pallas Riccati disagrees with scan: rel {rel_err}"
 
-    t_scan = _timeit(lambda: scan_fn().K, 20, jax.block_until_ready)
-    t_pl = _timeit(lambda: pl_fn().K, 20, jax.block_until_ready)
+    t_scan, t_s_lo, t_s_hi = _timeit(lambda: scan_fn().K, 20,
+                                     jax.block_until_ready)
+    t_pl, t_pl_lo, t_pl_hi = _timeit(lambda: pl_fn().K, 20,
+                                     jax.block_until_ready)
     emit("pallas_riccati_speedup_vs_xla", t_scan / t_pl,
          "x (T=200 n=16 m=4 backward pass, non-interpreted)",
          t_scan / t_pl, max_rel_err=round(rel_err, 7),
-         scan_ms=round(t_scan * 1e3, 3), pallas_ms=round(t_pl * 1e3, 3))
+         scan_ms=round(t_scan * 1e3, 3), pallas_ms=round(t_pl * 1e3, 3),
+         value_min=round(t_s_lo / t_pl_hi, 4),
+         value_max=round(t_s_hi / t_pl_lo, 4), n_blocks=N_BLOCKS)
 
 
 def bench_planar_hand():
@@ -217,15 +244,22 @@ def bench_planar_hand():
         state[0], state[1], state[2] = x, u, key
         return out[0]
 
-    dt = _timeit(step, 20, jax.block_until_ready)
+    dt, dt_lo, dt_hi = _timeit(step, 20, jax.block_until_ready)
     iters_per_s = 1.0 / dt
+    # The reference never records wall-clock for its 18-process farm; the
+    # 2 iterations/s denominator is OUR estimate (deliberately generous),
+    # flagged as such in the artifact rather than presented as measured.
     emit("planar_hand_irs_iterations_per_s", iters_per_s,
          "iterations/s (50 samples x 30 knots, Pallas PDIP estimation + "
          "boxed-ADMM QP + contact forward rollout)",
-         iters_per_s / 2.0, ms_per_iter=round(dt * 1e3, 3))
+         iters_per_s / 2.0, ms_per_iter=round(dt * 1e3, 3),
+         baseline_estimated=True, baseline_iters_per_s_assumed=2.0,
+         **spread_fields(dt, dt_lo, dt_hi, lambda t: 1.0 / t))
     rollouts = T * num_samples / dt
     emit("planar_hand_contact_rollouts_per_s_per_chip", rollouts,
-         "contact rollouts/s", rollouts / 10_000.0)
+         "contact rollouts/s", rollouts / 10_000.0,
+         **spread_fields(dt, dt_lo, dt_hi,
+                         lambda t: T * num_samples / t))
 
 
 def bench_pendulum():
@@ -261,10 +295,12 @@ def bench_pendulum():
         state[0], state[1], state[2] = x, u, key
         return out[0]
 
-    dt = _timeit(step, 50, jax.block_until_ready)
+    dt, dt_lo, dt_hi = _timeit(step, 50, jax.block_until_ready)
     value = T * num_samples / dt
     emit("smoothed_rollouts_per_s_per_chip", value, "rollouts/s",
-         value / 10_000.0)
+         value / 10_000.0,
+         **spread_fields(dt, dt_lo, dt_hi,
+                         lambda t: T * num_samples / t))
 
 
 def main():

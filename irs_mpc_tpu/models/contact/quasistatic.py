@@ -93,6 +93,12 @@ class QuasistaticModel:
     #     once in contact.
     contact_model: str = "anitescu"
 
+    def __post_init__(self):
+        if self.contact_model not in ("anitescu", "lcp"):
+            raise ValueError(
+                f"contact_model {self.contact_model!r} not in "
+                f"('anitescu', 'lcp')")
+
     # ---- bookkeeping (mirrors QuasistaticDynamics marshalling) ----------
 
     @property

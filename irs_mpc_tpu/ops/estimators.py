@@ -27,6 +27,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.base import System
 from .linalg import solve_spd
@@ -72,12 +73,41 @@ class SmoothingConfig:
         sx = sx * (scale if self.decay_std_x else 1.0)
         return sx, su * scale
 
+    # Value-based hash/eq so that two textually identical configs (or a
+    # ``dataclasses.replace`` copy) hit the same jit-cache entry instead of
+    # silently retracing — a contact-system retrace costs minutes on a small
+    # host.  ``decay`` is a callable and stays identity-keyed (there is no
+    # sound value equality for closures), so only *rebuilding the lambda*
+    # forces a retrace; all the numeric fields compare by value.
+    def _value_key(self):
+        def arr_key(v):
+            a = np.asarray(v)
+            return (a.shape, tuple(a.ravel().tolist()))
+        return (self.num_samples, arr_key(self.std_x), arr_key(self.std_u),
+                self.damp, self.decay_std_x, self.zero_order_B_A_source)
+
     def __hash__(self):
-        return hash((self.num_samples, id(self.decay), self.damp,
-                     self.decay_std_x, self.zero_order_B_A_source))
+        return hash(self._value_key())
 
     def __eq__(self, other):
-        return self is other
+        if not isinstance(other, SmoothingConfig):
+            return NotImplemented
+        if self._value_key() != other._value_key():
+            return False
+        # Same underlying callable => equal; different callables compare
+        # equal only if they share the code object and closure values (the
+        # common "same lambda text rebuilt" case, e.g. module reload or
+        # dataclasses.replace in a builder function).
+        f, g = self.decay, other.decay
+        if f is g:
+            return True
+        try:
+            same_code = f.__code__ == g.__code__
+            cf = tuple(c.cell_contents for c in (f.__closure__ or ()))
+            cg = tuple(c.cell_contents for c in (g.__closure__ or ()))
+            return same_code and cf == cg
+        except Exception:
+            return False
 
 
 def _sample_perturbations(key, std_x, std_u, num_samples):

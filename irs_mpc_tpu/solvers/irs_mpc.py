@@ -36,6 +36,14 @@ from ..ops.estimators import (SmoothingConfig, TvLinearization, decouple_AB,
 
 Array = jax.Array
 
+# "Infinite" box bound used to mask padded/unconstrained stages.  Must be
+# (a) far above any user bound magnitude so clip() is a no-op there, and
+# (b) small enough that its square (ADMM penalty terms ~ rho * BIG^2) stays
+# comfortably inside float32 range.  1e7 gives BIG^2 = 1e14 << 3.4e38 while
+# supporting bounds up to 1e6 — construction validates user bounds against
+# BOUND_BIG / 10 so nothing can silently saturate.
+BOUND_BIG = 1e7
+
 
 @dataclasses.dataclass
 class IrsMpcParams:
@@ -195,6 +203,21 @@ class IrsMpc:
             raise RuntimeError(
                 "Could not evaluate dynamics. Have you implemented it?"
             ) from e
+        # Finite bound magnitudes must stay well below the BOUND_BIG mask
+        # used for padded/unconstrained stages, or those stages would clip
+        # real values (silent corruption in resolve-mode padding).
+        for name in ("x_bounds_abs", "u_bounds_abs",
+                     "x_bounds_rel", "u_bounds_rel"):
+            b = getattr(p, name)
+            if b is None:
+                continue
+            mags = np.abs(np.asarray(b, np.float64))
+            mags = mags[np.isfinite(mags)]
+            if mags.size and mags.max() > BOUND_BIG / 10:
+                raise RuntimeError(
+                    f"{name} magnitude {mags.max():.3g} exceeds the "
+                    f"representable limit {BOUND_BIG / 10:.3g}; use "
+                    f"np.inf (or None) for unconstrained entries.")
 
     # ------------------------------------------------------------------
     def eval_cost(self, x_trj: Array, u_trj: Array):
@@ -333,8 +356,7 @@ class IrsMpc:
         if du is not None and self.idx_u is None:
             # Plain-u mode: no predecessor input exists at t=0 (the Δu mode
             # anchors to x0[idx_u]); leave the first stage unconstrained.
-            big = 3e4
-            du = du.at[0, 0].set(-big).at[1, 0].set(big)
+            du = du.at[0, 0].set(-BOUND_BIG).at[1, 0].set(BOUND_BIG)
 
         return admm_ops.BoxBounds(
             x=bx(), u=bu(), dx=brel(p.x_bounds_rel, n), du=du)
@@ -369,7 +391,7 @@ class IrsMpc:
         R_pad = jnp.eye(m, dtype=f32) * 1e-4
 
         bounds = self._box_bounds(x_trj)
-        big = jnp.asarray(3e4, f32)
+        big = jnp.asarray(BOUND_BIG, f32)
         idx_w = (jnp.arange(n, n_aug) if self._aug else None)
 
         def mask_bounds(b, t, time_len):

@@ -54,6 +54,13 @@ class ExperimentConfig:
             raise RuntimeError("pyyaml not available; use from_json") from e
         return cls(**yaml.safe_load(Path(path).read_text()))
 
+    def build_system(self):
+        """Build the configured system with every relevant field threaded
+        through (in particular ``contact_model`` — constructing via
+        ``make_system(cfg.system, cfg.h)`` alone would silently drop it)."""
+        return make_system(self.system, self.h,
+                           contact_model=self.contact_model)
+
 
 SYSTEM_REGISTRY = {}
 # Quasistatic model builders (returning QuasistaticModel, not System) so
@@ -78,12 +85,20 @@ def make_system(name: str, h: float, contact_model: str = "anitescu"):
     if name not in SYSTEM_REGISTRY:
         raise KeyError(f"unknown system {name!r}; known: "
                        f"{sorted(SYSTEM_REGISTRY)}")
-    fn = SYSTEM_REGISTRY[name]
-    if contact_model != "anitescu" and name in CONTACT_SYSTEMS:
+    if name in CONTACT_SYSTEMS:
         import dataclasses as _dc
-        return _dc.replace(CONTACT_SYSTEMS[name](h),
-                           contact_model=contact_model).system()
-    return fn(h)
+        model = CONTACT_SYSTEMS[name](h)
+        if contact_model != model.contact_model:
+            model = _dc.replace(model, contact_model=contact_model)
+        return model.system()
+    if contact_model != "anitescu":
+        # A non-default scheme was requested for a system with no contact
+        # builder: refusing beats silently running the wrong model.
+        raise ValueError(
+            f"system {name!r} has no contact-model variants; got "
+            f"contact_model={contact_model!r} (only quasistatic systems "
+            f"{sorted(CONTACT_SYSTEMS)} support it)")
+    return SYSTEM_REGISTRY[name](h)
 
 
 def _populate_registry():
@@ -97,14 +112,9 @@ def _populate_registry():
         "bicycle": make_bicycle,
         "quadrotor": make_quadrotor,
         "three_cart": make_three_cart,
-        "planar_hand": lambda h: contact_systems.make_planar_hand(h).system(),
-        "box_pushing": lambda h: contact_systems.make_box_pushing(h).system(),
-        "box_pivoting":
-            lambda h: contact_systems.make_box_pivoting(h).system(),
-        "plate_pickup":
-            lambda h: contact_systems.make_plate_pickup(h).system(),
-        "carrots": lambda h: contact_systems.make_carrots(h=h).system(),
     })
+    # Contact (quasistatic) systems register the MODEL builder once; the
+    # System entry is derived so the two registries cannot drift.
     CONTACT_SYSTEMS.update({
         "planar_hand": contact_systems.make_planar_hand,
         "box_pushing": contact_systems.make_box_pushing,
@@ -112,3 +122,6 @@ def _populate_registry():
         "plate_pickup": contact_systems.make_plate_pickup,
         "carrots": lambda h: contact_systems.make_carrots(h=h),
     })
+    for _name, _builder in CONTACT_SYSTEMS.items():
+        SYSTEM_REGISTRY[_name] = (
+            lambda h, _b=_builder: _b(h).system())
