@@ -47,6 +47,17 @@ class System:
     # Optional hand-optimized batched step (e.g. a Pallas kernel); falls
     # back to vmap(step).  Must be numerically equivalent to vmap(step).
     step_batch_fn: Optional[Callable[[Array, Array], Array]] = None
+    # Optional warm-started step for serial rollout chains:
+    # (x, u, carry) -> (x_next, carry).  A system whose step is itself an
+    # iterative solve (contact QPs) can warm-start each knot from the
+    # previous knot's solution — trajectories change slowly, so a warm
+    # solve converges in ~1/3 the cold iterations.  Must agree with
+    # ``step`` to solver tolerance.  ``ws_init_fn()`` builds the initial
+    # carry (static shapes).  The warm path is NOT differentiable; it is
+    # used for rollouts only — Jacobians always go through ``step``.
+    step_ws_fn: Optional[Callable[[Array, Array, object],
+                                  tuple[Array, object]]] = None
+    ws_init_fn: Optional[Callable[[], object]] = None
 
     # ---- derived operators (all jit/vmap/shard compatible) -------------
 
@@ -69,8 +80,18 @@ class System:
         """Open-loop rollout; returns the (T+1, n) state trajectory.
 
         Replaces the reference's python rollout loop
-        (``irs_lqr/irs_lqr.py:105-119``) with a ``lax.scan``.
+        (``irs_lqr/irs_lqr.py:105-119``) with a ``lax.scan``.  Uses the
+        warm-started step chain when the system provides one (the serial
+        rollout is the latency wall for contact systems).
         """
+        if self.step_ws_fn is not None:
+            def body_ws(carry, u):
+                x, ws = carry
+                x_next, ws = self.step_ws_fn(x, u, ws)
+                return (x_next, ws), x_next
+
+            _, xs = jax.lax.scan(body_ws, (x0, self.ws_init_fn()), u_trj)
+            return jnp.concatenate([x0[None], xs], axis=0)
 
         def body(x, u):
             x_next = self.step(x, u)

@@ -73,13 +73,9 @@ class Mbp2DModel:
                 m[idx] = np.asarray(inst.mass)
         return jnp.asarray(m)
 
-    def step(self, x: Array, u: Array) -> Array:
+    def _free_velocity(self, q: Array, v: Array, u: Array, M: Array):
         base = self.base
-        h = base.h
         nq = self.nq
-        q, v = x[:nq], x[nq:]
-        M = self._mass_vector()
-
         # Generalized forces (spring/gravity/torque parts only; ALL viscous
         # terms are handled implicitly below — explicit damping is unstable
         # whenever (kd + damping) * h / m > 2, which stiff PD gains hit
@@ -109,22 +105,57 @@ class Mbp2DModel:
 
         # Semi-implicit velocity update with implicit viscous damping:
         #   M (v' - v)/h = tau - visc * v'   =>
-        v_free = (v + h * tau / M) / (1.0 + h * visc / M)
-        G, phi = base.contact_rows(q)
+        return (v + self.base.h * tau / M) / (1.0 + self.base.h * visc / M)
+
+    def _contact_qp(self, q: Array, v_free: Array, M: Array):
+        """(P, b, C, d) of the velocity-level contact QP, or (None, ...)."""
+        G, phi = self.base.contact_rows(q)
         if G is None:
+            return None, None, None, None
+        # min 1/2 v'M v - (M v_free)'v  s.t.  -(h G) v <= phi
+        return jnp.diag(M), -(M * v_free), -self.base.h * G, phi
+
+    def step(self, x: Array, u: Array) -> Array:
+        nq = self.nq
+        q, v = x[:nq], x[nq:]
+        M = self._mass_vector()
+        v_free = self._free_velocity(q, v, u, M)
+        P, b, C, d = self._contact_qp(q, v_free, M)
+        if P is None:
             v_next = v_free
         else:
-            # min 1/2 v'M v - (M v_free)'v  s.t.  -(h G) v <= phi
-            P = jnp.diag(M)
-            b = -(M * v_free)
-            v_next = solve_qp(P, b, -h * G, phi, base.qp_iters)
-        q_next = q + h * v_next
+            v_next = solve_qp(P, b, C, d, self.base.qp_iters)
+        q_next = q + self.base.h * v_next
         return jnp.concatenate([q_next, v_next])
 
+    def ws_init(self):
+        return (jnp.zeros(self.nq, jnp.float32),
+                jnp.ones(self.base.n_constraint_rows(), jnp.float32))
+
+    def step_ws(self, x: Array, u: Array, carry):
+        """Warm-started step for serial rollouts (see QuasistaticModel
+        .step_ws); the carry holds the previous knot's (v', lam)."""
+        from .qp import solve_qp_warm
+        nq = self.nq
+        q, v = x[:nq], x[nq:]
+        M = self._mass_vector()
+        v_free = self._free_velocity(q, v, u, M)
+        P, b, C, d = self._contact_qp(q, v_free, M)
+        if P is None:
+            v_next = v_free
+        else:
+            v_next, carry = solve_qp_warm(P, b, C, d, carry,
+                                          self.base.qp_iters_ws)
+        q_next = q + self.base.h * v_next
+        return jnp.concatenate([q_next, v_next]), carry
+
     def system(self) -> System:
+        use_ws = self.base.qp_iters_ws > 0 and bool(self.base.pairs)
         return System(name=f"{self.base.name}_mbp",
                       dim_x=self.dim_x, dim_u=self.dim_u,
-                      h=self.base.h, step=self.step)
+                      h=self.base.h, step=self.step,
+                      step_ws_fn=self.step_ws if use_ws else None,
+                      ws_init_fn=self.ws_init if use_ws else None)
 
     def indices_u_into_x(self) -> np.ndarray:
         """Actuated POSITION indices into the (q, v) state — used by the

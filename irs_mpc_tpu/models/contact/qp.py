@@ -30,26 +30,56 @@ Array = jax.Array
 W_CAP = 1e10
 
 
-def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
+def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25, init=None):
     """Primal-dual interior point with fixed iteration count.
 
     Returns (x, s, lam).  All inputs full-rank small dense; batched via vmap.
+
+    ``init`` optionally warm-starts the solve from a previous solution
+    ``(x_prev, lam_prev)`` — e.g. the neighbouring knot of a trajectory
+    rollout, where the QP data changes slowly.  The primal starts at x_prev,
+    slacks are re-derived from the new constraints (floored to stay strictly
+    interior), and the duals keep the previous active-set memory (floored/
+    capped).  This typically converges in ~1/3 the cold-start iterations —
+    the serial contact-rollout phase is the framework's latency wall
+    (reference hot loop: quasistatic_dynamics.py:242-266).
     """
     n = q.shape[0]
     m = d.shape[0]
     In = jnp.eye(n, dtype=P.dtype)
 
-    # Start strictly feasible in (s, lam); x from the regularized
-    # unconstrained minimum.
-    x0 = solve_spd(P + 1e-8 * In, -q)
-    slack0 = d - C @ x0
-    shift = jnp.maximum(0.0, -jnp.min(slack0)) + 1.0
-    s0 = slack0 + shift
-    # Derived from every input (not a fresh constant) so that under
-    # shard_map the scan carry's varying-axis annotation matches the loop
-    # body's output (the body mixes in axes from all of P, q, C, d).
-    zero_all = (jnp.sum(P) + jnp.sum(q) + jnp.sum(C) + jnp.sum(d)) * 0.0
-    lam0 = d * 0.0 + zero_all + 1.0
+    if init is None:
+        # Start strictly feasible in (s, lam); x from the regularized
+        # unconstrained minimum.
+        x0 = solve_spd(P + 1e-8 * In, -q)
+        slack0 = d - C @ x0
+        shift = jnp.maximum(0.0, -jnp.min(slack0)) + 1.0
+        s0 = slack0 + shift
+        # Derived from every input (not a fresh constant) so that under
+        # shard_map the scan carry's varying-axis annotation matches the loop
+        # body's output (the body mixes in axes from all of P, q, C, d).
+        zero_all = (jnp.sum(P) + jnp.sum(q) + jnp.sum(C) + jnp.sum(d)) * 0.0
+        lam0 = d * 0.0 + zero_all + 1.0
+    else:
+        x_prev, lam_prev = init
+        delta = 1e-2
+        x0 = jnp.where(jnp.all(jnp.isfinite(x_prev)), x_prev,
+                       jnp.zeros_like(x_prev))
+        slack0 = d - C @ x0
+        # Same uniform feasibility shift as the cold start, but delta-sized:
+        # a *per-row* floor (s = max(slack, delta)) leaves violated rows with
+        # huge primal residual at tiny s, and the fraction-to-boundary rule
+        # then collapses the step size (observed: box-pivoting contact onset
+        # stalls at 5e-2 error regardless of iteration count).  The shift
+        # keeps r_p uniform across rows — the geometry the solver's centering
+        # handles well — while staying ~delta when x_prev is near-feasible.
+        shift = jnp.maximum(0.0, -jnp.min(slack0)) + delta
+        s0 = slack0 + shift
+        # Keep the previous duals' active-set memory, floored to stay
+        # strictly interior and capped so an inherited spike cannot poison
+        # the first Newton system.
+        lam_prev = jnp.where(jnp.isfinite(lam_prev), lam_prev, 1.0)
+        lam0 = jnp.clip(lam_prev, delta, 1e6)
 
     # f32 safety: floor the barrier target and cap the scaling lam/s so H
     # stays solvable when the duality gap reaches float32 resolution
@@ -95,7 +125,7 @@ def _pdip_solve(P, q, C, d, iters: int, sigma: float = 0.25):
         return (x_new, s + alpha * ds, lam + alpha * dlam, x_keep), None
 
     (_, s, lam, x_keep), _ = jax.lax.scan(body, (x0, s0, lam0, x0), None,
-                                          length=iters)
+                                          length=int(iters))
     # Duals can be non-finite on rescued problems; sanitize for the JVP.
     s = jnp.where(jnp.isfinite(s), s, 1e-7)
     lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
@@ -134,3 +164,16 @@ def _solve_qp_jvp(iters, primals, tangents):
 def solve_qp_with_duals(P, q, C, d, iters: int = 30):
     """Non-differentiable variant returning (x, s, lam) for diagnostics."""
     return _pdip_solve(P, q, C, d, iters)
+
+
+def solve_qp_warm(P, q, C, d, ws, iters: int = 10):
+    """Warm-started solve for serial rollout chains (non-differentiable).
+
+    ``ws = (x_prev, lam_prev)`` from the previous knot's solve.  Returns
+    ``(x, (x, lam))`` — the solution plus the carry for the next knot.
+    The duals are sanitized before being handed forward so one rescued
+    (transiently non-finite) solve cannot poison the rest of the chain.
+    """
+    x, s, lam = _pdip_solve(P, q, C, d, iters, init=ws)
+    lam = jnp.where(jnp.isfinite(lam), lam, 1.0)
+    return x, (x, lam)

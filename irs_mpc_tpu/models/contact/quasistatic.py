@@ -77,6 +77,12 @@ class QuasistaticModel:
     # name to (2,) direction selection is implicit: translation dofs get
     # m*g on the z component; rotation dofs get 0.
     qp_iters: int = 30
+    # Warm-started solve budget for serial rollout chains (step_ws): each
+    # knot starts from the previous knot's (dq, lam).  Empirically 10 warm
+    # iterations match (or beat) 30 cold ones on every bundled system,
+    # including the Kp=5e4 box-pivoting (warm-10 error 8e-4 vs cold-30's
+    # 2e-2 against a converged solve).  Set to 0 to disable warm rollouts.
+    qp_iters_ws: int = 10
     # Contact time-stepping scheme (the two models contrasted by the
     # reference's motivating study, examples/box_pushing/analysis/
     # box_on_box.py:11-34):
@@ -250,6 +256,33 @@ class QuasistaticModel:
             dq = solve_qp(P, b, C, d, self.qp_iters)
         return q + dq
 
+    def n_constraint_rows(self) -> int:
+        """Static number of contact rows (fixed by the geometry/pair list)."""
+        G, _ = self.contact_rows(jnp.zeros(self.nq))
+        return 0 if G is None else G.shape[0]
+
+    def ws_init(self):
+        """Initial warm-start carry for a rollout chain: (dq, lam) mirroring
+        the cold start's lam0 = 1."""
+        return (jnp.zeros(self.nq, jnp.float32),
+                jnp.ones(self.n_constraint_rows(), jnp.float32))
+
+    def step_ws(self, x: Array, u: Array, carry):
+        """Warm-started step for serial rollouts: the PDIP starts from the
+        previous knot's (dq, lam) and runs ``qp_iters_ws`` iterations (the
+        reference's hot loop re-solves every knot cold through Gurobi,
+        quasistatic_dynamics.py:242-266).  NOT differentiable — Jacobians
+        and per-knot sampling always go through ``step``."""
+        from .qp import solve_qp_warm
+        q = x
+        P, b = self._hessian_and_bias(q, u)
+        C, d = self._constraint_rows(q)
+        if C is None:
+            dq = -jnp.linalg.solve(P + 1e-9 * jnp.eye(self.nq), b)
+            return q + dq, carry
+        dq, carry = solve_qp_warm(P, b, C, d, carry, self.qp_iters_ws)
+        return q + dq, carry
+
     def system(self, pallas_batch: bool = False) -> System:
         """Wrap as the framework's System (step/vmap/jacfwd derived).
 
@@ -269,9 +302,12 @@ class QuasistaticModel:
                 dq = solve_qp_batched(P, b, C, d, iters=self.qp_iters)
                 return x + dq
 
+        use_ws = self.qp_iters_ws > 0 and bool(self.pairs)
         return System(name=self.name, dim_x=self.nq, dim_u=self.dim_u,
                       h=self.h, step=self.step,
-                      step_batch_fn=step_batch_fn)
+                      step_batch_fn=step_batch_fn,
+                      step_ws_fn=self.step_ws if use_ws else None,
+                      ws_init_fn=self.ws_init if use_ws else None)
 
     def estimation_surrogate(self, qp_iters: int = 15) -> System:
         """Cheaper system for the Monte-Carlo estimation sweep: reduced QP

@@ -405,7 +405,7 @@ class IrsMpc:
             return jnp.stack([lb, ub])
 
         def knot(carry, t):
-            x_cur, u_prev = carry
+            x_cur, u_prev, ws = carry
             mask_t = (jnp.arange(T) >= t).astype(f32)[:, None, None]
             prob_t = prob._replace(
                 A=mask_t * prob.A + (1 - mask_t) * A_pad,
@@ -431,12 +431,16 @@ class IrsMpc:
                 rho=p.admm_rho, iters=p.admm_iters,
                 backend=self._riccati_backend)
             u = jnp.nan_to_num(sol.u_trj[t])
-            x_next = sys.step(x_cur, u)
-            return (x_next, u), (x_next, u)
+            if sys.step_ws_fn is not None:
+                x_next, ws = sys.step_ws_fn(x_cur, u, ws)
+            else:
+                x_next = sys.step(x_cur, u)
+            return (x_next, u, ws), (x_next, u)
 
         u_prev0 = (x_trj[0, self.idx_u] if self.idx_u is not None
                    else jnp.zeros((m,), f32))
-        _, (xs, us) = jax.lax.scan(knot, (x_trj[0], u_prev0),
+        ws0 = sys.ws_init_fn() if sys.step_ws_fn is not None else ()
+        _, (xs, us) = jax.lax.scan(knot, (x_trj[0], u_prev0, ws0),
                                    jnp.arange(T))
         x_new = jnp.concatenate([x_trj[0][None], xs], axis=0)
         return x_new, us
@@ -543,18 +547,22 @@ class IrsMpc:
             u_ref = u_trj + alpha * (u_plan - u_trj)
 
             def fwd_step(carry, inp):
-                x, u_prev = carry
+                x, u_prev, ws = carry
                 K, z_r, u_r, lb_t, ub_t, rlb_t, rub_t = inp
                 z = (jnp.concatenate([x, u_prev]) if self._aug else x)
                 u = u_r - K @ (z - z_r)
                 if has_rel:
                     u = jnp.clip(u, u_prev + rlb_t, u_prev + rub_t)
                 u = jnp.clip(u, lb_t, ub_t)
-                x_next = sys.step(x, u)
-                return (x_next, u), (x_next, u)
+                if sys.step_ws_fn is not None:
+                    x_next, ws = sys.step_ws_fn(x, u, ws)
+                else:
+                    x_next = sys.step(x, u)
+                return (x_next, u, ws), (x_next, u)
 
+            ws0 = sys.ws_init_fn() if sys.step_ws_fn is not None else ()
             _, (xs, us) = jax.lax.scan(
-                fwd_step, (x_trj[0], u_prev0),
+                fwd_step, (x_trj[0], u_prev0, ws0),
                 (gains.K, z_ref, u_ref, lb, ub, rel_lb, rel_ub))
             x_new = jnp.concatenate([x_trj[0][None], xs], axis=0)
             channels = self.eval_cost(x_new, us)

@@ -377,3 +377,81 @@ def test_lcp_contact_model_one_sided():
     z_ani = float(ani.step(xpen, u)[1])
     z_lcp = float(lcp.step(xpen, u)[1])
     assert z_ani > z_lcp > 0.5, (z_ani, z_lcp)
+
+
+def test_warm_start_rollout_matches_converged():
+    """Warm-started rollouts (PDIP carried across knots, qp_iters_ws=10)
+    must match a fully converged cold rollout (120 iters) — including the
+    contact-ONSET knot, where the inherited duals say "inactive" and the
+    uniform feasibility shift lets the solver re-activate (per-row slack
+    flooring stalls there; see qp._pdip_solve)."""
+    import dataclasses
+
+    from irs_mpc_tpu.models.contact.systems import make_planar_hand
+
+    m = make_planar_hand(0.1)
+    x0 = m.get_x_from_q_dict(
+        {"sphere": np.array([0., 0.35, 0.]),
+         "arm_left": np.array([-np.pi / 4, -np.pi / 4]),
+         "arm_right": np.array([np.pi / 4, np.pi / 4])})
+    rng = np.random.RandomState(0)
+    iu = m.indices_u_into_x()
+    T = 20
+    u_trj = (np.tile(x0[iu], (T, 1))
+             + np.cumsum(rng.randn(T, 4) * 0.02, 0).astype(np.float32))
+    sys_ws = m.system()
+    assert sys_ws.step_ws_fn is not None
+    sys_ref = dataclasses.replace(m, qp_iters=120, qp_iters_ws=0).system()
+    assert sys_ref.step_ws_fn is None
+    xw = jax.jit(sys_ws.rollout)(jnp.asarray(x0), jnp.asarray(u_trj))
+    xr = jax.jit(sys_ref.rollout)(jnp.asarray(x0), jnp.asarray(u_trj))
+    assert float(jnp.abs(xw - xr).max()) < 1e-4
+
+
+def test_warm_start_contact_onset():
+    """Free flight -> contact: the knot where contact first activates is the
+    hard case for a warm-started interior point (previous duals ~ 0)."""
+    import dataclasses
+
+    from irs_mpc_tpu.models.contact.systems import make_box_pushing
+
+    m = make_box_pushing(0.1)
+    x0 = np.array([0., 0.5, 0., 0., -0.2], np.float32)
+    T = 12
+    # Hand approaches the box and pushes through the onset.
+    u_trj = np.stack([np.array([0., -0.2 + 0.03 * t], np.float32)
+                      for t in range(T)])
+    sys_ws = m.system()
+    sys_ref = dataclasses.replace(m, qp_iters=120, qp_iters_ws=0).system()
+    xw = jax.jit(sys_ws.rollout)(jnp.asarray(x0), jnp.asarray(u_trj))
+    xr = jax.jit(sys_ref.rollout)(jnp.asarray(x0), jnp.asarray(u_trj))
+    assert float(jnp.abs(xw - xr).max()) < 1e-5
+    # The box must actually have been pushed (contact was active).
+    assert float(xr[-1, 1]) > 0.5 + 5e-3
+
+
+def test_warm_start_mbp_rollout():
+    """Second-order plant: warm-started velocity-QP chain matches the
+    converged cold rollout."""
+    import dataclasses
+
+    from irs_mpc_tpu.models.contact.mbp2d import Mbp2DModel
+    from irs_mpc_tpu.models.contact.systems import make_planar_hand
+
+    base = make_planar_hand(0.1)
+    mbp = Mbp2DModel(base=base, actuated_mass=(0.5, 0.3, 0.5, 0.3),
+                     control_mode="position", damping=0.5)
+    q0 = base.get_x_from_q_dict(
+        {"sphere": np.array([0., 0.35, 0.]),
+         "arm_left": np.array([-np.pi / 4, -np.pi / 4]),
+         "arm_right": np.array([np.pi / 4, np.pi / 4])})
+    x0 = np.concatenate([q0, np.zeros(7)]).astype(np.float32)
+    u0 = np.array([-np.pi / 2 + 0.5] * 2 + [np.pi / 2 - 0.5] * 2, np.float32)
+    u_trj = np.tile(u0, (20, 1))
+    sys_ws = mbp.system()
+    assert sys_ws.step_ws_fn is not None
+    base_ref = dataclasses.replace(base, qp_iters=120, qp_iters_ws=0)
+    sys_ref = dataclasses.replace(mbp, base=base_ref).system()
+    xw = jax.jit(sys_ws.rollout)(jnp.asarray(x0), jnp.asarray(u_trj))
+    xr = jax.jit(sys_ref.rollout)(jnp.asarray(x0), jnp.asarray(u_trj))
+    assert float(jnp.abs(xw - xr).max()) < 1e-3
