@@ -44,6 +44,28 @@ class CemParams:
     # Reference quirk: evaluate_cost uses Q (not Qd) on the final state.
     report_final_cost_with_Q: bool = True
 
+    # ---- search upgrades (all default-off: vanilla reference CEM) ----
+    # On-TPU populations are nearly free, but vanilla CEM still wastes the
+    # budget on long horizons: per-knot white noise almost never produces a
+    # coherent 200-knot maneuver, and the elite refit collapses std before
+    # the search finds one.  These four knobs are the standard fixes
+    # (cf. iCEM, Pinneri et al. 2020 — public algorithm; re-implemented):
+    #
+    # Elementwise floor on the refit std (scalar or (m,)): prevents
+    # premature variance collapse on multimodal landscapes.
+    std_floor: Optional[np.ndarray] = None
+    # Refit smoothing a in [0, 1): new = (1 - a) * refit + a * previous,
+    # applied to both mean and std.  Damps elite-noise-driven jitter.
+    momentum: float = 0.0
+    # AR(1) temporal correlation of the sampled noise along the horizon:
+    # eps_t = beta * eps_{t-1} + sqrt(1 - beta^2) * w_t.  beta ~ 0.7-0.9
+    # concentrates the search on low-frequency input variations — the ones
+    # that actually move a trajectory — while keeping Var[eps_t] = 1.
+    noise_beta: float = 0.0
+    # Re-inject the previous iteration's top-k elites into the candidate
+    # population so the best known trajectories survive resampling.
+    elite_keep: int = 0
+
 
 class CrossEntropyMethod:
     """construct with (system, params); ``iterate(n) -> (x_trj, u_trj, cost)``
@@ -62,6 +84,17 @@ class CrossEntropyMethod:
                       else jnp.asarray(params.indices_u_into_x, jnp.int32))
         self.std_trj = jnp.tile(f32(params.initial_std), (self.T, 1))
         self.key = jax.random.PRNGKey(params.seed)
+        if not 0 <= params.momentum < 1:
+            raise ValueError(f"momentum must be in [0, 1): {params.momentum}")
+        if not 0 <= params.noise_beta < 1:
+            raise ValueError(
+                f"noise_beta must be in [0, 1): {params.noise_beta}")
+        if not 0 <= params.elite_keep <= params.n_elite:
+            raise ValueError("elite_keep must be in [0, n_elite]")
+        # Persisted elites (elite_keep > 0): start as copies of the nominal,
+        # which also guarantees the nominal trajectory is in population 1.
+        self.kept = (jnp.tile(self.u_trj[None], (params.elite_keep, 1, 1))
+                     if params.elite_keep > 0 else None)
 
         self.x_trj = system.rollout(self.x0, self.u_trj)
         self.cost = float(self._cost(self.x_trj, self.u_trj))
@@ -92,11 +125,27 @@ class CrossEntropyMethod:
             c += jnp.einsum("ti,ij,tj->", du, self.R, du)
         return c
 
-    def _step(self, u_trj, std_trj, prev_x, prev_cost, key):
+    def _step(self, u_trj, std_trj, prev_x, prev_cost, kept, key):
         p = self.params
         key, k = jax.random.split(key)
         eps = jax.random.normal(k, (p.batch_size, self.T, self.system.dim_u))
+        if p.noise_beta > 0:
+            # AR(1) low-pass along the horizon, unit marginal variance.
+            beta = jnp.float32(p.noise_beta)
+            scale = jnp.sqrt(1.0 - beta * beta)
+
+            def lp(c, w):
+                e = beta * c + scale * w
+                return e, e
+
+            _, rest = jax.lax.scan(lp, eps[:, 0],
+                                   jnp.swapaxes(eps[:, 1:], 0, 1))
+            eps = jnp.concatenate(
+                [eps[:, :1], jnp.swapaxes(rest, 0, 1)], axis=1)
         cand = u_trj[None] + std_trj[None] * eps
+        if kept is not None:
+            # Previous elites survive resampling verbatim (first rows).
+            cand = cand.at[:p.elite_keep].set(kept)
         if p.u_bounds_abs is not None:
             b = jnp.asarray(p.u_bounds_abs, jnp.float32)
             cand = jnp.clip(cand, b[0], b[1])
@@ -114,6 +163,11 @@ class CrossEntropyMethod:
         elites = cand[elite_idx]
         u_new = jnp.mean(elites, axis=0)
         std_new = jnp.std(elites, axis=0)
+        if p.momentum > 0:
+            a = jnp.float32(p.momentum)
+            u_new = (1 - a) * u_new + a * u_trj
+            std_new = (1 - a) * std_new + a * std_trj
+        kept_new = elites[:p.elite_keep] if kept is not None else kept
         x_new = self.system.rollout(self.x0, u_new)
         cost_new = self._cost(x_new, u_new)
         # Divergence guard: the elites' mean rollout can blow up on stiff
@@ -136,14 +190,18 @@ class CrossEntropyMethod:
                              jnp.where(use_elite, best_cost, cost_new))
         std_new = jnp.where(use_prev, std_trj,
                             jnp.where(use_elite, 0.5 * std_trj, std_new))
-        return x_new, u_new, std_new, cost_new, key
+        if p.std_floor is not None:
+            std_new = jnp.maximum(std_new,
+                                  jnp.asarray(p.std_floor, jnp.float32))
+        return x_new, u_new, std_new, cost_new, kept_new, key
 
     # ------------------------------------------------------------------
     def iterate(self, max_iterations: int, verbose: bool = True):
         for _ in range(max_iterations):
-            x_new, u_new, std_new, cost_new, self.key = self._step_jit(
+            (x_new, u_new, std_new, cost_new, self.kept,
+             self.key) = self._step_jit(
                 self.u_trj, self.std_trj, self.x_trj,
-                jnp.asarray(self.cost, jnp.float32), self.key)
+                jnp.asarray(self.cost, jnp.float32), self.kept, self.key)
             cost_new = float(cost_new)
             if verbose:
                 print(f"Iteration: {self.iter:02d} || Current Cost: "

@@ -61,6 +61,76 @@ def test_cem_contact_delta_u():
     assert np.all(np.isfinite(cem.u_trj_lst[-1]))
 
 
+def _pendulum_params(T=30, **kw):
+    base = dict(
+        Q=np.diag([1., 1.]), Qd=np.diag([20., 20.]), R=np.diag([0.1]),
+        x0=np.zeros(2), xd_trj=np.tile([np.pi, 0.], (T + 1, 1)),
+        u_trj_init=np.zeros((T, 1)),
+        n_elite=10, batch_size=100, initial_std=np.array([1.0]))
+    base.update(kw)
+    return CemParams(**base)
+
+
+def test_cem_param_validation():
+    import pytest
+    for bad in [dict(momentum=1.0), dict(momentum=-0.1),
+                dict(noise_beta=1.0), dict(noise_beta=-0.2),
+                dict(elite_keep=11), dict(elite_keep=-1)]:
+        with pytest.raises(ValueError):
+            CrossEntropyMethod(make_pendulum(0.05), _pendulum_params(**bad))
+
+
+def test_cem_std_floor_holds():
+    floor = np.array([0.35])
+    cem = CrossEntropyMethod(make_pendulum(0.05),
+                             _pendulum_params(std_floor=floor))
+    cem.iterate(10, verbose=False)
+    assert float(jnp.min(cem.std_trj)) >= 0.35 - 1e-6
+
+
+def test_cem_momentum_damps_refit():
+    """With refit smoothing a, the one-step mean update is exactly (1-a)
+    times the vanilla update under the same PRNG seed."""
+    cem0 = CrossEntropyMethod(make_pendulum(0.05), _pendulum_params(seed=3))
+    cem1 = CrossEntropyMethod(make_pendulum(0.05),
+                              _pendulum_params(seed=3, momentum=0.8))
+    u0 = np.asarray(cem0.u_trj)
+    cem0.iterate(1, verbose=False)
+    cem1.iterate(1, verbose=False)
+    d0 = np.asarray(cem0.u_trj) - u0
+    d1 = np.asarray(cem1.u_trj) - u0
+    np.testing.assert_allclose(d1, 0.2 * d0, rtol=1e-4, atol=1e-6)
+
+
+def test_cem_ar1_noise_keeps_unit_marginal_variance():
+    """AR(1)-correlated noise must not change the per-knot sampling std:
+    refitting on the WHOLE population (n_elite = batch) recovers std ~ 1 at
+    every knot, correlated or not."""
+    T = 40
+    stds = []
+    for beta in (0.0, 0.9):
+        cem = CrossEntropyMethod(make_pendulum(0.05), _pendulum_params(
+            T=T, batch_size=3000, n_elite=3000, noise_beta=beta, seed=5))
+        cem.iterate(1, verbose=False)
+        stds.append(np.asarray(cem.std_trj))
+    for s in stds:
+        np.testing.assert_allclose(s, np.ones_like(s), rtol=0.08)
+
+
+def test_cem_elite_keep_preserves_best():
+    """Persisted elites make the population's best cost monotone: the best
+    candidate of iteration k is re-injected verbatim into iteration k+1, so
+    cost_lst of the running best never regresses past it."""
+    cem = CrossEntropyMethod(make_pendulum(0.05), _pendulum_params(
+        elite_keep=5, batch_size=80, n_elite=10, seed=1))
+    cem.iterate(8, verbose=False)
+    assert cem.kept.shape == (5, 30, 1)
+    assert np.all(np.isfinite(cem.cost_lst))
+    # The nominal is seeded into population 1 (kept starts as copies of it),
+    # so iteration 1's best candidate can be no worse than the initial cost.
+    assert cem.cost_lst[1] <= cem.cost_lst[0] + 1e-5
+
+
 def test_cem_divergent_mean_rollout_rejected():
     """If the elites' mean rollout blows up, the refit is rejected: cost
     history stays finite and the previous mean is kept (regression for the
