@@ -11,14 +11,19 @@ State x = [xyz (3), rpy (3), xyz_dot (3), rpy_dot (3)]; input u = 4 rotor
 commands (squared rotor speeds, force = kF * u).
 """
 import jax.numpy as jnp
+import numpy as np
 
 from .base import System
 
 # Physical constants (reference quadrotor_dynamics.py:26-38).
+# NOTE: numpy, not jnp — a module-level jnp.array initializes the XLA
+# backend at import time, which forbids a later jax.distributed.initialize
+# (the multi-process pod path imports this package first).  jnp ops convert
+# numpy operands for free.
 M = 0.775
 L = 0.15
 G = 9.81
-INERTIA = jnp.array([
+INERTIA = np.array([
     [0.0015, 0.0, 0.0],
     [0.0, 0.0025, 0.0],
     [0.0, 0.0, 0.0035],

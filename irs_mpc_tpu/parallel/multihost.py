@@ -35,15 +35,24 @@ def initialize(coordinator_address: Optional[str] = None,
     With no arguments, relies on the TPU environment metadata (the standard
     path on TPU VMs/GKE).
     """
-    if jax.process_count() > 1:
+    # NOTE: do NOT probe jax.process_count() here — it initializes the
+    # backend, after which jax.distributed.initialize is forever too late.
+    from jax._src import distributed as _distributed
+    if getattr(_distributed.global_state, "client", None) is not None:
         return  # already initialized
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
     except (ValueError, RuntimeError):
-        # Single-process environment (e.g. this repo's 1-chip dev box).
+        if explicit:
+            # The caller named a coordinator: failing to reach it is a real
+            # error, not a single-process environment.
+            raise
+        # Auto-detect mode on a single-process box (e.g. the 1-chip dev
+        # machine): run single-process.
         pass
 
 

@@ -93,6 +93,81 @@ def test_multihost_helpers_single_process():
     assert multihost.is_coordinator()
 
 
+def test_jax_distributed_two_process(tmp_path):
+    """REAL multi-process execution of the pod path: two local CPU
+    processes (2 virtual devices each) initialize ``jax.distributed``
+    against a live coordinator, build the global (2, 2) ``pod_mesh``, and
+    run one mesh-sharded zero-order estimation sweep whose psum crosses the
+    process boundary.  Both processes must agree with each other AND with a
+    single-process run of the same mesh shape — the estimator's keys and
+    reductions depend only on mesh shape, not process layout.
+
+    This is the first-class replacement for the reference's multi-process
+    farm (``/root/reference/zmq_parallel_cmp/simple_task_vent.py:13-51``);
+    see tests/distributed_child.py for the per-process program.
+    """
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    child = Path(__file__).resolve().parent / "distributed_child.py"
+    out = tmp_path / "dist"
+    procs = []
+    # The axon TPU plugin (sitecustomize on PYTHONPATH) initializes a PJRT
+    # client at interpreter start — before the child could ever call
+    # jax.distributed.initialize.  Children must run plugin-free.
+    pypath = ":".join(p for p in os.environ.get("PYTHONPATH", "").split(":")
+                      if p and "axon" not in p)
+    for pid in range(2):
+        env = dict(os.environ,
+                   PYTHONPATH=pypath, JAX_PLATFORMS="cpu",
+                   IRS_COORD_PORT=str(port), IRS_PROC_ID=str(pid),
+                   IRS_NUM_PROCS="2", IRS_OUT=str(out))
+        procs.append(subprocess.Popen(
+            [_sys.executable, str(child)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(stdout)
+    for p, stdout in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{stdout}"
+
+    import numpy as np
+    r0 = np.load(f"{out}.0.npz")
+    r1 = np.load(f"{out}.1.npz")
+    assert int(r0["n_devices"]) == 4 and int(r0["n_local"]) == 2
+    # Cross-process agreement (the allgathered global result is identical).
+    np.testing.assert_array_equal(r0["A"], r1["A"])
+    np.testing.assert_array_equal(r0["B"], r1["B"])
+    np.testing.assert_array_equal(r0["c"], r1["c"])
+
+    # Single-process ground truth on the same (2, 2) mesh shape.
+    sys_, _, _ = _nominal()
+    T = 12
+    rng = np.random.RandomState(0)
+    u_trj = jnp.asarray((0.5 * rng.randn(T, 1)).astype(np.float32))
+    x_trj = sys_.rollout(jnp.zeros(2), u_trj)
+    cfg = SmoothingConfig(num_samples=64, std_u=0.2, std_x=0.2)
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    tv = sharded_estimate_tv_matrices(sys_, "zero_order", x_trj, u_trj,
+                                      jax.random.PRNGKey(7), 1.0, cfg, mesh)
+    np.testing.assert_allclose(r0["A"], tv.A, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r0["B"], tv.B, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(r0["c"], tv.c, rtol=2e-5, atol=2e-5)
+
+
 def test_sharded_contact_estimation():
     """Mesh-sharded estimation through the CONTACT engine (QP steps inside
     shard_map with psum moments)."""
