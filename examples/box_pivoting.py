@@ -93,12 +93,13 @@ def build_cem_solver(T=40, batch_size=100, n_elite=5):
     return CrossEntropyMethod(model.system(), params), model
 
 
-MODES = ("first_order", "zero_order_B")
+MODES = ("exact", "first_order", "zero_order_B")
 
 
 def main(modes=MODES, num_iters=10):
-    """Both reference modes (box_pivoting_{first_order,zero}.csv,
-    ref: ~14.5-15.4k -> 2424 / 2455) plus the CEM baseline."""
+    """All three reference modes (box_pivoting_{exact,first_order,zero}.csv,
+    ref exact: 14718 -> 8853 in 5 rows — exact stalls high while smoothing
+    reaches 2424/2455) plus the CEM baseline."""
     solver = None
     for mode in modes:
         solver, model = build_solver(gradient_mode=mode)

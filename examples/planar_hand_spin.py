@@ -87,15 +87,16 @@ def build_cem_solver(T=30, batch_size=100, n_elite=5):
     return CrossEntropyMethod(model.system(), params), model
 
 
-MODES = ("exact", "first_order", "zero_order_AB")
+MODES = ("exact", "first_order", "zero_order_B", "zero_order_AB")
 
 
 def main(modes=MODES, num_iters=21):
     """Sweep the reference's spin-task modes, one curve per mode
-    (planar_hand_spin_{exact,first_order,zero_order_AB}.csv,
-    ref: 249.63 -> 63.79 / 62.73 / 53.51 over 22 rows; at the matched
+    (planar_hand_spin_{exact,first_order,zero_order_B,zero_order_AB}.csv,
+    ref: 249.63 -> 63.79 / 62.73 / 116.33 / 53.51 over 22 rows — note the
+    reference's OWN zero_order_B is its worst spin mode; at the matched
     iteration budget we land at 86.9 (exact plateaus — smoothing wins,
-    the reference's own story) / 53.5 / 55.1)."""
+    the reference's own story) / 53.5 / see CSV / 55.1)."""
     solver = None
     for mode in modes:
         solver, model = build_solver(gradient_mode=mode)
