@@ -129,13 +129,21 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
                       rho: float = 1.0,
                       iters: int = 60,
                       parallel: bool = False,
-                      backend: str = "scan") -> AdmmSolution:
+                      backend: str = "scan",
+                      over_relax: float = 1.0) -> AdmmSolution:
     """Solve the boxed TV-LQR QP.  ``prob`` may be Δu-augmented (then
     ``idx_w`` points at the prev-input block and ``n_phys`` < n).
 
     Fixed ``iters`` ADMM sweeps; each sweep is one Riccati backward pass +
     linear rollout.  Returns the solution with final residuals so callers can
     monitor convergence without breaking jit.
+
+    ``over_relax`` in [1, 2): standard ADMM over-relaxation — the z/y updates
+    see s_hat = a*s + (1-a)*z_prev instead of s (Boyd et al. §3.4.3).  a=1.6
+    typically halves the sweeps needed for a given residual; a=1.0 recovers
+    plain ADMM exactly.  Each Riccati sweep is a serial scan over the
+    horizon, so on TPU fewer sweeps is a direct latency win for the hot
+    trajectory-QP phase.
     """
     T, n, m = prob.B.shape
     f32 = prob.A.dtype
@@ -159,18 +167,22 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
         du=clip_or(s0.du, bounds.du, s0.du))
     y0 = zeros_like_svals()
 
+    a = jnp.asarray(over_relax, f32)
+
     def sweep(carry, _):
         z, y, _, _ = carry
         pen = _penalized_problem(prob, bounds, z, y, rho, n_phys, idx_w)
         x_trj, u_trj, gains = lqr_ops.lqr_solve(pen, parallel=parallel, backend=backend)
         s = _stage_values(prob, x_trj, u_trj, n_phys, idx_w)
-        sy = jax.tree.map(lambda a, b: a + b, s, y)
+        # Over-relaxation: blend past z into the consensus target.
+        sh = jax.tree.map(lambda ss, zz: a * ss + (1.0 - a) * zz, s, z)
+        sy = jax.tree.map(lambda a_, b: a_ + b, sh, y)
         z_new = _SVals(
             x=clip_or(sy.x, bounds.x, s.x),
             u=clip_or(sy.u, bounds.u, s.u),
             dx=clip_or(sy.dx, bounds.dx, s.dx),
             du=clip_or(sy.du, bounds.du, s.du))
-        y_new = jax.tree.map(lambda yy, ss, zz: yy + ss - zz, y, s, z_new)
+        y_new = jax.tree.map(lambda yy, ss, zz: yy + ss - zz, y, sh, z_new)
         return (z_new, y_new, (x_trj, u_trj, gains), z), None
 
     init_sol = (x0_trj, u0_trj, gains0)

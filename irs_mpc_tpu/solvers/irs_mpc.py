@@ -96,6 +96,7 @@ class IrsMpcParams:
     riccati_backend: str = "auto"        # "auto"|"scan"|"assoc"|"pallas"
     admm_iters: int = 60                 # boxed-QP iterations (resolve mode)
     admm_rho: float = 1.0
+    admm_over_relax: float = 1.0         # 1.6 ~halves admm_iters (Boyd §3.4.3)
     seed: int = 0
     # Optional jax.sharding.Mesh with ("sample", "knot") axes: shards the
     # Monte-Carlo estimation across devices (replaces the reference's ZMQ
@@ -429,6 +430,7 @@ class IrsMpc:
             sol = admm_ops.solve_boxed_tvlqr(
                 prob_t, bounds_t, n_phys=n, idx_w=idx_w,
                 rho=p.admm_rho, iters=p.admm_iters,
+                over_relax=p.admm_over_relax,
                 backend=self._riccati_backend)
             u = jnp.nan_to_num(sol.u_trj[t])
             if sys.step_ws_fn is not None:
@@ -488,6 +490,7 @@ class IrsMpc:
             sol = admm_ops.solve_boxed_tvlqr(
                 prob, self._box_bounds(x_trj), n_phys=n, idx_w=idx_w,
                 rho=p.admm_rho, iters=p.admm_iters,
+                over_relax=p.admm_over_relax,
                 parallel=p.parallel_riccati, backend=self._riccati_backend)
             gains, z_plan, u_plan = sol.gains, sol.x_trj, sol.u_trj
         else:

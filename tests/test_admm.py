@@ -288,3 +288,38 @@ def test_native_active_set_oracle_kkt_and_gradient(seed):
         err = np.linalg.norm((x2 - x) / eps - dx) / max(1.0,
                                                         np.linalg.norm(dx))
         assert err < 1e-4, err
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_over_relaxation_matches_oracle_at_half_iters(seed):
+    """ADMM over-relaxation (a=1.6, Boyd §3.4.3): 15 over-relaxed sweeps
+    must match the f64 oracle within the tolerance the plain scheme needs
+    30 sweeps for — the latency-halving knob used by the hot contact
+    drivers (each sweep is a serial Riccati scan on TPU)."""
+    A, B, c, Q, Qd, R, x0, xd = _random_problem(T=6, n=3, m=2, seed=seed)
+    prob = lqr_ops.build_tracking_problem(A, B, c, Q, Qd, R, x0, xd)
+    T, n, m = B.shape
+    u_lb, u_ub = -0.3 * np.ones(m), 0.3 * np.ones(m)
+    x_lb, x_ub = -2.0 * np.ones(n), 2.0 * np.ones(n)
+    bounds = admm_ops.BoxBounds(
+        x=jnp.stack([jnp.tile(jnp.asarray(x_lb, jnp.float32), (T + 1, 1)),
+                     jnp.tile(jnp.asarray(x_ub, jnp.float32), (T + 1, 1))]),
+        u=jnp.stack([jnp.tile(jnp.asarray(u_lb, jnp.float32), (T, 1)),
+                     jnp.tile(jnp.asarray(u_ub, jnp.float32), (T, 1))]))
+    x_or, u_or = _oracle_solve(prob, x_lb, x_ub, u_lb, u_ub)
+
+    plain30 = admm_ops.solve_boxed_tvlqr(prob, bounds, n_phys=n, rho=5.0,
+                                         iters=30)
+    over15 = admm_ops.solve_boxed_tvlqr(prob, bounds, n_phys=n, rho=5.0,
+                                        iters=15, over_relax=1.6)
+    e_plain = np.max(np.abs(np.asarray(plain30.u_trj) - u_or))
+    e_over = np.max(np.abs(np.asarray(over15.u_trj) - u_or))
+    assert e_over <= max(1.5 * e_plain, 2e-2), (e_over, e_plain)
+    # Bounds still respected.
+    assert np.all(np.asarray(over15.u_trj) <= u_ub + 1e-2)
+    assert np.all(np.asarray(over15.u_trj) >= u_lb - 1e-2)
+    # a=1.0 is exactly the plain scheme (same lax.scan trace).
+    plain_explicit = admm_ops.solve_boxed_tvlqr(
+        prob, bounds, n_phys=n, rho=5.0, iters=30, over_relax=1.0)
+    np.testing.assert_array_equal(np.asarray(plain30.u_trj),
+                                  np.asarray(plain_explicit.u_trj))
