@@ -110,7 +110,8 @@ def build_planar_hand_solver():
         smoothing=SmoothingConfig(
             num_samples=50, std_u=0.3, std_x=1e-3,
             decay=lambda it: 1.0 / it ** 0.8, decay_std_x=False),
-        admm_iters=30,
+        admm_iters=12,
+        admm_over_relax=1.6,
         report_final_cost_with_Q=False,
         estimation_system=model.estimation_surrogate(),
     )

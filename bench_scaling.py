@@ -107,6 +107,162 @@ def measure_fit(n, m, T=64, reps=50):
     return _time(lambda: f(G, M), reps=reps)
 
 
+def _dist_child_main():
+    """Per-process program for the ``--two-proc`` bench (and its 1-process
+    control).  Mirrors tests/distributed_child.py but measures TIME: the
+    full mesh-sharded estimation sweep and the moment-psum alone, on a mesh
+    whose sample axis spans the process boundary — so the psum executes the
+    real cross-process collective path (the reference's multi-process farm
+    role, ``zmq_parallel_cmp/simple_task_vent.py:13-51``)."""
+    import json as _json
+    from functools import partial
+
+    pid = int(os.environ.get("IRS_PROC_ID", "0"))
+    nproc = int(os.environ.get("IRS_NUM_PROCS", "1"))
+    devs_per_proc = int(os.environ.get("IRS_DEVS_PER_PROC", "4"))
+    out_path = os.environ["IRS_OUT"]
+    reps = int(os.environ.get("IRS_BENCH_REPS", "10"))
+
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={devs_per_proc}")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from irs_mpc_tpu.parallel import multihost
+    if nproc > 1:
+        port = os.environ["IRS_COORD_PORT"]
+        multihost.initialize(coordinator_address=f"localhost:{port}",
+                             num_processes=nproc, process_id=pid)
+        assert jax.process_count() == nproc
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from irs_mpc_tpu import SmoothingConfig, make_pendulum
+    from irs_mpc_tpu.parallel.sharded import sharded_estimate_tv_matrices
+
+    # (sample = all devices, knot = 1): the moment psum reduces over the
+    # sample axis, which spans BOTH processes in the 2-proc run.
+    mesh = multihost.pod_mesh(knot_shards=1)
+    rep = NamedSharding(mesh, P())
+
+    def gput(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, rep, lambda i: a[i])
+
+    system = make_pendulum(0.05)
+    T = 16
+    u_trj = gput(np.full((T, 1), 0.1, np.float32))
+    x_trj = gput(np.asarray(system.rollout(
+        jnp.zeros(2), jnp.full((T, 1), 0.1, jnp.float32))))
+    key = gput(np.asarray(jax.random.PRNGKey(0)))
+    it = gput(np.float32(1.0))
+    cfg = SmoothingConfig(num_samples=512, std_x=1.0, std_u=1.0)
+
+    fn = jax.jit(lambda x, u, k, i: sharded_estimate_tv_matrices(
+        system, "zero_order", x, u, k, i, cfg, mesh))
+    sweep_s = _time(lambda: fn(x_trj, u_trj, key, it).B, reps=reps)
+
+    # The psum alone, same shapes/axis as the sweep's real reduction.
+    n, m = system.dim_x, system.dim_u
+    p = n + m
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("knot"), P("knot")), out_specs=P("knot"))
+    def reduce_moments(G, M):
+        return jax.lax.psum(G, "sample"), jax.lax.psum(M, "sample")
+
+    G = gput(np.ones((T, p, p), np.float32))
+    M = gput(np.ones((T, p, n), np.float32))
+    coll_s = _time(lambda: reduce_moments(G, M), reps=5 * reps)
+
+    with open(f"{out_path}.{pid}.json", "w") as f:
+        _json.dump({"pid": pid, "nproc": nproc,
+                    "n_local": len(jax.local_devices()),
+                    "n_devices": len(jax.devices()),
+                    "sweep_s": sweep_s, "coll_s": coll_s}, f)
+    print(f"proc {pid}/{nproc}: sweep {sweep_s*1e3:.2f} ms "
+          f"coll {coll_s*1e3:.3f} ms", flush=True)
+
+
+def two_proc_main():
+    """Spawn the 2-process pod bench + its 1-process 4-device control and
+    emit one JSON artifact (BENCH_SCALING_2proc.json).  This times the only
+    path virtual single-process meshes cannot: collectives that cross a
+    process boundary (gloo here; DCN/ICI on a real pod)."""
+    import json as _json
+    import socket
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    here = Path(__file__).resolve().parent
+    pypath = ":".join(p for p in os.environ.get("PYTHONPATH", "").split(":")
+                      if p and "axon" not in p)
+    tmp = tempfile.mkdtemp(prefix="irs_2proc_")
+
+    def spawn(pid, nproc, devs, port, tag):
+        env = dict(os.environ, PYTHONPATH=pypath, JAX_PLATFORMS="cpu",
+                   JAX_COMPILATION_CACHE_DIR=f"{tmp}/jaxcache",
+                   IRS_PROC_ID=str(pid), IRS_NUM_PROCS=str(nproc),
+                   IRS_DEVS_PER_PROC=str(devs),
+                   IRS_OUT=f"{tmp}/{tag}", IRS_BENCH_REPS="10")
+        if nproc > 1:
+            env["IRS_COORD_PORT"] = str(port)
+        return subprocess.Popen(
+            [sys.executable, str(here / "bench_scaling.py"), "--dist-child"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+
+    # 1-process control: same global mesh shape (4 devices), no processes.
+    solo = spawn(0, 1, 4, None, "solo")
+    out, _ = solo.communicate(timeout=1200)
+    assert solo.returncode == 0, f"solo child failed:\n{out}"
+    solo_r = _json.load(open(f"{tmp}/solo.0.json"))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = [spawn(pid, 2, 2, port, "pod") for pid in range(2)]
+    outs = []
+    for pr in procs:
+        try:
+            o, _ = pr.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o)
+    for pr, o in zip(procs, outs):
+        assert pr.returncode == 0, f"pod child failed:\n{o}"
+    rs = [_json.load(open(f"{tmp}/pod.{pid}.json")) for pid in range(2)]
+
+    sweep = max(r["sweep_s"] for r in rs)
+    coll = max(r["coll_s"] for r in rs)
+    artifact = {
+        "metric": "two_process_pod_estimation_sweep",
+        "platform": "cpu(gloo)", "processes": 2,
+        "devices_per_process": 2, "mesh": {"sample": 4, "knot": 1},
+        "samples": 512, "T": 16,
+        "sweep_s_per_iter": round(sweep, 5),
+        "collective_s": round(coll, 6),
+        "collective_frac": round(coll / sweep, 4),
+        "single_process_same_mesh_s": round(solo_r["sweep_s"], 5),
+        "single_process_collective_s": round(solo_r["coll_s"], 6),
+        "cross_process_overhead": round(sweep / solo_r["sweep_s"], 3),
+        "caveat": ("2 local CPU processes over gloo on shared cores: the "
+                   "collective crosses a REAL process boundary (the path "
+                   "virtual meshes cannot test) but its latency is loopback "
+                   "gloo, not ICI/DCN; compare collective_frac, not "
+                   "absolute seconds"),
+    }
+    print(json.dumps(artifact))
+
+
 def main():
     import jax
     from irs_mpc_tpu import SmoothingConfig, make_pendulum
@@ -169,4 +325,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--dist-child" in sys.argv:
+        _dist_child_main()
+    elif "--two-proc" in sys.argv:
+        two_proc_main()
+    else:
+        main()

@@ -37,17 +37,19 @@ def main():
 
     # CEM baseline — same cost/std setup as the reference
     # (pendulum_cem.py:20-25) but with a population sized for the 200-dim
-    # input search (batch 4000 / 40 elites / 150 iterations vs the
-    # reference's 1000/10/7): a vmapped population iteration costs ~0.2s
-    # on TPU vs the reference's 1000 serial python rollouts, so the bigger
-    # budget is free and brings CEM within ~20% of the iRS optimum
-    # (422 vs 349) instead of plateauing at 2x.
+    # input search (batch 8000 / 80 elites / 150 iterations vs the
+    # reference's 1000/10/7): a vmapped population iteration is nearly free
+    # on TPU vs the reference's 1000 serial python rollouts.  elite_keep
+    # re-injects the 10 best known trajectories each generation
+    # (solvers/cem.py, default-off knob), which alone moved the final
+    # 422 -> 377 — within 8% of the iRS optimum (349.5).
     T = 200
     cem = CrossEntropyMethod(pend, CemParams(
         Q=np.diag([1., 1.]), Qd=np.diag([20., 20.]), R=np.diag([1.]),
         x0=np.zeros(2), xd_trj=np.tile([np.pi, 0.], (T + 1, 1)),
         u_trj_init=np.tile([0.1], (T, 1)),
-        n_elite=40, batch_size=4000, initial_std=np.array([1.0])))
+        n_elite=80, batch_size=8000, initial_std=np.array([1.0]),
+        elite_keep=10))
     cem.iterate(150, verbose=False)
     report(cem, "pendulum_cem")
 
