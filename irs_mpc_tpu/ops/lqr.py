@@ -100,6 +100,64 @@ def riccati_backward(prob: LqrProblem) -> LqrGains:
     return LqrGains(K=K, k=k, P=P, p=p)
 
 
+class RiccatiFactorization(NamedTuple):
+    """Sweep-invariant Riccati data (depends only on A, B, Q, R, N, Qf).
+
+    ADMM box penalties perturb ONLY the linear cost terms (q, r, qf) between
+    sweeps — every quadratic penalty rho*S'S is constant — so the feedback
+    gains K, the input Hessians H, the cross blocks G, and the value
+    Hessians P can be factored once and each sweep re-solves just the
+    affine recursion (:func:`riccati_linear`).  This turns the boxed-QP
+    inner loop from iters x full-Riccati into 1 x full + iters x linear.
+    """
+    K: Array   # (T, m, n)
+    H: Array   # (T, m, m)
+    G: Array   # (T, m, n)
+    P: Array   # (T+1, n, n)  (P[t] = value Hessian at time t)
+
+
+def riccati_factorize(prob: LqrProblem) -> RiccatiFactorization:
+    """Backward pass over the quadratic terms only (q/r/qf never read)."""
+
+    def step(P, inp):
+        A, B, Q, R, N = inp
+        PB = P @ B
+        H = R + B.T @ PB
+        G = N.T + B.T @ (P @ A)
+        K = solve_spd(H, G)
+        P_new = Q + A.T @ (P @ A) - G.T @ K
+        P_new = 0.5 * (P_new + P_new.T)
+        return P_new, (K, H, G, P)
+
+    inps = (prob.A, prob.B, prob.Q, prob.R, prob.N)
+    P0, (K, H, G, P_tail) = jax.lax.scan(step, prob.Qf, inps, reverse=True)
+    P = jnp.concatenate([P0[None], P_tail], axis=0)
+    return RiccatiFactorization(K=K, H=H, G=G, P=P)
+
+
+def riccati_linear(prob: LqrProblem,
+                   fac: RiccatiFactorization) -> LqrGains:
+    """Affine backward recursion under a fixed factorization.
+
+    Exactly the (k, p) recursion of :func:`riccati_backward` with (K, H, G,
+    P) taken from ``fac``; bit-equivalent when ``prob``'s quadratic terms
+    match the ones ``fac`` was built from (tested)."""
+
+    def step(p, inp):
+        A, B, c, q, r, H, G, P1 = inp
+        Pc_p = P1 @ c + p
+        g = r + B.T @ Pc_p
+        k = solve_spd(H, g)
+        p_new = q + A.T @ Pc_p - G.T @ k
+        return p_new, (k, p)
+
+    inps = (prob.A, prob.B, prob.c, prob.q, prob.r,
+            fac.H, fac.G, fac.P[1:])
+    p0, (k, p_tail) = jax.lax.scan(step, prob.qf, inps, reverse=True)
+    p = jnp.concatenate([p0[None], p_tail], axis=0)
+    return LqrGains(K=fac.K, k=k, P=fac.P, p=p)
+
+
 class _AssocElem(NamedTuple):
     """Parallel-LQR element per Särkkä & García-Fernández (2021): the
     conditional value function between two times, parameterized as

@@ -323,3 +323,23 @@ def test_over_relaxation_matches_oracle_at_half_iters(seed):
         prob, bounds, n_phys=n, rho=5.0, iters=30, over_relax=1.0)
     np.testing.assert_array_equal(np.asarray(plain30.u_trj),
                                   np.asarray(plain_explicit.u_trj))
+
+
+def test_factored_admm_matches_generic_path():
+    """The factored sweep loop (one Riccati factorization + per-sweep
+    linear re-solves; the scan/pallas-backend default) must agree with the
+    generic full-solve-per-sweep path (kept for the assoc backend) to
+    backend-numerics tolerance."""
+    for seed in range(2):
+        A, B, c, Q, Qd, R, x0, xd = _random_problem(T=6, n=3, m=2, seed=seed)
+        prob = lqr_ops.build_tracking_problem(A, B, c, Q, Qd, R, x0, xd)
+        T, n, m = B.shape
+        bounds = admm_ops.BoxBounds(
+            u=jnp.stack([jnp.full((T, m), -0.3), jnp.full((T, m), 0.3)]))
+        fast = admm_ops.solve_boxed_tvlqr(prob, bounds, n_phys=n, rho=5.0,
+                                          iters=120)
+        slow = admm_ops.solve_boxed_tvlqr(prob, bounds, n_phys=n, rho=5.0,
+                                          iters=120, backend="assoc")
+        eu = float(jnp.max(jnp.abs(fast.u_trj - slow.u_trj)))
+        assert eu < 2e-3, (seed, eu)
+        assert float(fast.r_primal) < 1e-3

@@ -125,3 +125,21 @@ def test_delta_u_problem_matches_dense_qp():
     np.testing.assert_allclose(x_aug[1:, 3:], u_trj, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(x_aug[0, 3:], x0[np.asarray(idx)],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_riccati_factorize_linear_matches_backward():
+    """riccati_factorize + riccati_linear must reproduce the joint backward
+    pass exactly: the factorization is what lets boxed ADMM re-solve only
+    the affine recursion per sweep (the quadratic penalties are
+    sweep-invariant)."""
+    for seed in range(3):
+        A, B, c, Q, Qd, R, x0, xd = _random_problem(seed=seed)
+        prob = lqr.build_tracking_problem(A, B, c, Q, Qd, R, x0, xd)
+        g_full = lqr.riccati_backward(prob)
+        fac = lqr.riccati_factorize(prob)
+        g_lin = lqr.riccati_linear(prob, fac)
+        for name in ("K", "k", "P", "p"):
+            a, b = getattr(g_full, name), getattr(g_lin, name)
+            scale = float(jnp.max(jnp.abs(a))) + 1e-9
+            err = float(jnp.max(jnp.abs(a - b))) / scale
+            assert err < 1e-5, (seed, name, err)
