@@ -46,7 +46,7 @@ def build_solver(T=30, batch_size=2000, n_elite=100):
         n_elite=n_elite, batch_size=batch_size,
         initial_std=np.ones(4) * 0.25,
         std_floor=np.float32(0.02), momentum=0.3, noise_beta=0.85,
-        elite_keep=10,
+        elite_keep=min(10, n_elite),
         indices_u_into_x=idx_u,
         report_final_cost_with_Q=False)
     return CrossEntropyMethod(system, params), model

@@ -143,3 +143,33 @@ def test_pallas_whole_loop_admm_matches_xla():
     # Residual ingredients agree too (host computes r_primal/r_dual).
     np.testing.assert_allclose(jnp.max(jnp.abs(u_p - z)), ref.r_primal,
                                rtol=1e-2, atol=1e-3)
+
+
+def test_admm_pallas_backend_dispatch():
+    """solve_boxed_tvlqr(backend="pallas") with a u-box must route through
+    the whole-loop kernel (init, residuals, gains wiring) and agree with the
+    scan backend."""
+    from irs_mpc_tpu.ops import admm as admm_ops
+
+    prob = _problem(T=4, n=3, m=2, seed=7)
+    T, n, m = prob.B.shape
+    bounds = admm_ops.BoxBounds(
+        u=jnp.stack([jnp.full((T, m), -0.3), jnp.full((T, m), 0.3)]))
+
+    ref = admm_ops.solve_boxed_tvlqr(prob, bounds, n_phys=n, rho=5.0,
+                                     iters=3, over_relax=1.6)
+    if jax.devices()[0].platform != "tpu":
+        with pltpu.force_tpu_interpret_mode():
+            pal = admm_ops.solve_boxed_tvlqr(prob, bounds, n_phys=n, rho=5.0,
+                                             iters=3, over_relax=1.6,
+                                             backend="pallas")
+    else:
+        pal = admm_ops.solve_boxed_tvlqr(prob, bounds, n_phys=n, rho=5.0,
+                                         iters=3, over_relax=1.6,
+                                         backend="pallas")
+    np.testing.assert_allclose(pal.u_trj, ref.u_trj, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(pal.x_trj, ref.x_trj, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(pal.gains.K, ref.gains.K, rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(float(pal.r_primal), float(ref.r_primal),
+                               rtol=1e-2, atol=1e-3)
