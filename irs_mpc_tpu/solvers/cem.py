@@ -65,6 +65,15 @@ class CemParams:
     # Re-inject the previous iteration's top-k elites into the candidate
     # population so the best known trajectories survive resampling.
     elite_keep: int = 0
+    # Band-limited exploration: sample the noise at K control knots spread
+    # over the horizon and linearly interpolate to all T knots (0 = off).
+    # Unlike AR(1) low-passing (noise_beta), interpolated noise has ZERO
+    # high-frequency content — on stiff long-horizon plants (quadrotor RPY
+    # over 200 steps) it is the per-knot jitter, not the correlation length,
+    # that destabilizes rollouts, so this explores coherent low-frequency
+    # maneuvers at stds AR(1) cannot tolerate.  Marginal variance is
+    # renormalized to 1 so std_trj keeps its meaning.
+    noise_knots: int = 0
 
 
 class CrossEntropyMethod:
@@ -91,6 +100,25 @@ class CrossEntropyMethod:
                 f"noise_beta must be in [0, 1): {params.noise_beta}")
         if not 0 <= params.elite_keep <= params.n_elite:
             raise ValueError("elite_keep must be in [0, n_elite]")
+        if params.noise_knots < 0 or params.noise_knots > self.T:
+            raise ValueError(f"noise_knots must be in [0, T]: "
+                             f"{params.noise_knots}")
+        if params.noise_knots == 1:
+            raise ValueError("noise_knots must be 0 (off) or >= 2")
+        self._knot_W = None
+        if params.noise_knots >= 2:
+            # (T, K) linear-interpolation weights from K knots at
+            # linspace(0, T-1, K), rows rescaled to unit marginal variance.
+            K = params.noise_knots
+            t = np.arange(self.T, dtype=np.float64)
+            pos = t * (K - 1) / (self.T - 1) if self.T > 1 else t * 0.0
+            lo = np.minimum(np.floor(pos).astype(np.int64), K - 2)
+            frac = pos - lo
+            W = np.zeros((self.T, K))
+            W[t.astype(np.int64), lo] = 1.0 - frac
+            W[t.astype(np.int64), lo + 1] = frac
+            W /= np.sqrt((W ** 2).sum(axis=1, keepdims=True))
+            self._knot_W = jnp.asarray(W, jnp.float32)
         # Persisted elites (elite_keep > 0): start as copies of the nominal,
         # which also guarantees the nominal trajectory is in population 1.
         self.kept = (jnp.tile(self.u_trj[None], (params.elite_keep, 1, 1))
@@ -128,8 +156,14 @@ class CrossEntropyMethod:
     def _step(self, u_trj, std_trj, prev_x, prev_cost, kept, key):
         p = self.params
         key, k = jax.random.split(key)
-        eps = jax.random.normal(k, (p.batch_size, self.T, self.system.dim_u))
-        if p.noise_beta > 0:
+        if self._knot_W is not None:
+            eps_k = jax.random.normal(
+                k, (p.batch_size, p.noise_knots, self.system.dim_u))
+            eps = jnp.einsum("tk,bkm->btm", self._knot_W, eps_k)
+        else:
+            eps = jax.random.normal(
+                k, (p.batch_size, self.T, self.system.dim_u))
+        if p.noise_beta > 0 and self._knot_W is None:
             # AR(1) low-pass along the horizon, unit marginal variance.
             beta = jnp.float32(p.noise_beta)
             scale = jnp.sqrt(1.0 - beta * beta)

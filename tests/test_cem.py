@@ -151,3 +151,34 @@ def test_cem_divergent_mean_rollout_rejected():
     cem.iterate(8, verbose=False)
     assert np.all(np.isfinite(cem.cost_lst)), cem.cost_lst
     assert np.isfinite(cem.cost_best)
+
+
+def test_cem_noise_knots_band_limited():
+    """noise_knots: interpolation weights are unit-marginal-variance, the
+    knob validates its range, and a band-limited search still solves the
+    swing-up (reference has no such knob; this is the repo's iCEM-class
+    extension for long-horizon plants)."""
+    import pytest
+
+    T = 60
+    base = dict(
+        Q=np.diag([1., 1.]), Qd=np.diag([20., 20.]), R=np.diag([0.1]),
+        x0=np.zeros(2), xd_trj=np.tile([np.pi, 0.], (T + 1, 1)),
+        u_trj_init=np.zeros((T, 1)),
+        n_elite=20, batch_size=300, initial_std=np.array([1.0]))
+    cem = CrossEntropyMethod(make_pendulum(0.05),
+                             CemParams(**base, noise_knots=10))
+    # Rows of the interpolation matrix are unit-norm (std_trj keeps meaning)
+    # and every row touches at most 2 adjacent knots (linear interp).
+    W = np.asarray(cem._knot_W)
+    assert W.shape == (T, 10)
+    np.testing.assert_allclose((W ** 2).sum(axis=1), 1.0, rtol=1e-5)
+    assert int((W != 0).sum(axis=1).max()) <= 2
+    c0 = cem.cost
+    cem.iterate(15, verbose=False)
+    assert cem.cost_best < 0.5 * c0
+
+    for bad in (-1, 1, T + 1):
+        with pytest.raises(ValueError):
+            CrossEntropyMethod(make_pendulum(0.05),
+                               CemParams(**base, noise_knots=bad))
