@@ -103,8 +103,8 @@ def build_solver(control_mode="position", num_samples=50, T=30,
     return IrsMpc(system, params), mbp
 
 
-def build_cem_solver(control_mode="position", T=30, batch_size=100,
-                     n_elite=15):
+def build_cem_solver(control_mode="position", T=30, batch_size=16000,
+                     n_elite=160):
     """CEM on the second-order plant — the reference's
     ``run_planar_hand_second_order{,_position}_cem.py`` drivers
     (``CrossEntropyMethodMbp`` / ``CrossEntropyMethodMbpPosition``,
@@ -125,6 +125,14 @@ def build_cem_solver(control_mode="position", T=30, batch_size=100,
         extra = dict(indices_u_into_x=idx_u, R=np.eye(4) * 5.0,
                      u_trj_init=np.tile(Q0[idx_u], (T, 1)),
                      initial_std=np.ones(4) * 0.15)
+        # iCEM-class knobs (see solvers/cem.py): with a TPU-sized
+        # population this search brackets the plant's floor at ~5.7
+        # (16k/300 -> 5.71, 8k/600 -> 5.95), right where the iRS sweep
+        # lands (6.07) and far above the reference's 3.76 on ITS geometry
+        # — the empirical leg of PARITY.md's second-order floor analysis.
+        extra.update(noise_beta=0.7, momentum=0.1,
+                     elite_keep=max(1, n_elite // 8),
+                     std_floor=np.ones(4) * 0.01)
     else:
         qd[2] = -np.pi / 4
         Qq = np.array([10., 10., 10., 0., 0., 0., 0.])
@@ -161,7 +169,7 @@ def main(num_iters=15):
     report(solver, "planar_hand_second_torque")
     print("  [torque] ball final:", solver.x_trj_best[-1][:3])
     cem, mbp = build_cem_solver()
-    cem.iterate(30, verbose=False)
+    cem.iterate(300, verbose=False)
     report(cem, "planar_hand_second_cem")
     print("  [cem] ball final:", cem.x_trj_best[-1][:3])
 

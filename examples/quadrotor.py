@@ -57,19 +57,21 @@ def main():
         x0=np.zeros(12), xd_trj=helix_xd(T),
         u_trj_init=np.tile([2.0] * 4, (T, 1)),
         # Reference cost setup (quadrotor_cem.py:29-31) with the
-        # population scaled for the 800-dim input search (8000/80 vs the
+        # population scaled for the 800-dim input search (16000/160 vs the
         # reference's 100/10/7 serial python rollouts).  The 800-dim search
         # needs structure to avoid divergent-rollout elites: thrusts clipped
         # to the physical [0, 4] box (hover = 2.0), mild AR(1) noise
         # (beta=0.5 — beta >= 0.9 destabilizes the 200-step RPY dynamics),
         # elite persistence, light refit momentum.  Sweep: vanilla/4000
-        # plateaus at 25k; this config passes 12.7k at 300 iterations and
-        # keeps descending (iRS reaches 3.3k — the remaining gap is the
+        # plateaus at 25k; 8000/600-iter reaches 10.7k; band-limited
+        # noise_knots stalls at 17.5k (the helix needs fine corrections);
+        # doubling the population AND the budget (16000/1200) reaches 8.2k
+        # and keeps descending (iRS reaches 3.3k — the remaining gap is the
         # expected CEM-vs-gradient cost at this dimensionality).
-        n_elite=80, batch_size=8000, initial_std=np.ones(4) * 0.02,
-        noise_beta=0.5, momentum=0.1, elite_keep=10,
+        n_elite=160, batch_size=16000, initial_std=np.ones(4) * 0.02,
+        noise_beta=0.5, momentum=0.1, elite_keep=20,
         u_bounds_abs=np.array([np.zeros(4), 4.0 * np.ones(4)])))
-    cem.iterate(600, verbose=False)
+    cem.iterate(1200, verbose=False)
     report(cem, "quadrotor_cem")
 
 
