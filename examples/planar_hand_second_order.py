@@ -104,7 +104,7 @@ def build_solver(control_mode="position", num_samples=50, T=30,
 
 
 def build_cem_solver(control_mode="position", T=30, batch_size=16000,
-                     n_elite=160):
+                     n_elite=160, spin=False):
     """CEM on the second-order plant — the reference's
     ``run_planar_hand_second_order{,_position}_cem.py`` drivers
     (``CrossEntropyMethodMbp`` / ``CrossEntropyMethodMbpPosition``,
@@ -121,6 +121,9 @@ def build_cem_solver(control_mode="position", T=30, batch_size=16000,
     if control_mode == "position":
         qd[0:2] += np.array([0.3, -0.1])
         Qq = np.array([10., 10., 1e-3, 1e-3, 1e-3, 1e-3, 1e-3])
+        if spin:
+            qd[2] = -np.pi / 4
+            Qq[2] = 0.1
         idx_u = mbp.indices_u_into_x()
         extra = dict(indices_u_into_x=idx_u, R=np.eye(4) * 5.0,
                      u_trj_init=np.tile(Q0[idx_u], (T, 1)),
