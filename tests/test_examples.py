@@ -47,6 +47,17 @@ def test_second_order_examples_build():
     assert np.isfinite(s.cost)
 
 
+def test_second_order_cem_spin_builds():
+    """The iCEM plant-floor-bracket builder (translate AND spin variants)
+    constructs and descends at toy population sizes."""
+    from planar_hand_second_order import build_cem_solver
+    for spin in (False, True):
+        cem, _ = build_cem_solver(batch_size=40, n_elite=8, T=10, spin=spin)
+        c0 = cem.cost
+        cem.iterate(3, verbose=False)
+        assert np.isfinite(cem.cost_best) and cem.cost_best <= c0
+
+
 def test_carrots_builds_small():
     from carrots import build_solver
     s, model = build_solver(num_samples=5, T=4, n_pieces=6)
