@@ -175,6 +175,10 @@ def main(num_iters=15):
     cem.iterate(300, verbose=False)
     report(cem, "planar_hand_second_cem")
     print("  [cem] ball final:", cem.x_trj_best[-1][:3])
+    cem, mbp = build_cem_solver(spin=True)
+    cem.iterate(300, verbose=False)
+    report(cem, "planar_hand_spin_second_cem")
+    print("  [spin cem] ball final:", cem.x_trj_best[-1][:3])
 
 
 if __name__ == "__main__":
