@@ -137,6 +137,10 @@ def build_cem_solver(control_mode="position", T=30, batch_size=16000,
                      elite_keep=max(1, n_elite // 8),
                      std_floor=np.ones(4) * 0.01)
     else:
+        if spin:
+            raise ValueError(
+                "spin=True only applies to control_mode='position'; the "
+                "torque branch hard-codes the spin task (qd[2] = -pi/4).")
         qd[2] = -np.pi / 4
         Qq = np.array([10., 10., 10., 0., 0., 0., 0.])
         extra = dict(R=np.eye(4) * 0.05,

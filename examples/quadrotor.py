@@ -65,8 +65,8 @@ def main():
         # elite persistence, light refit momentum.  Sweep: vanilla/4000
         # plateaus at 25k; 8000/600-iter reaches 10.7k; band-limited
         # noise_knots stalls at 17.5k (the helix needs fine corrections);
-        # doubling the population AND the budget (16000/1200) reaches 8.2k
-        # and keeps descending (iRS reaches 3.3k — the remaining gap is the
+        # doubling the population AND the budget (16000/1200) plateaus
+        # near 8.2k (iRS reaches 3.3k — the remaining gap is the
         # expected CEM-vs-gradient cost at this dimensionality).
         n_elite=160, batch_size=16000, initial_std=np.ones(4) * 0.02,
         noise_beta=0.5, momentum=0.1, elite_keep=20,
