@@ -74,6 +74,134 @@ def spread_fields(dt_med, dt_min, dt_max, to_value):
                 n_blocks=N_BLOCKS)
 
 
+# ---------------------------------------------------------------------------
+# Roofline / MFU accounting (r3 verdict item 2)
+#
+# The shapes of every hot loop are static, so the FLOP and minimum-HBM-byte
+# counts per iteration are analytic functions of (T, n, m, samples,
+# qp_iters).  The reference publishes no utilization numbers at all (its
+# only perf note is the O(iters x T^2) warning, tv_lqr.py:65-66); a
+# TPU-first build should know where it sits on the roofline — in particular
+# whether further kernel work pays (bandwidth/compute-bound) or not
+# (latency-bound).
+#
+# Peaks (TPU v5e, one chip): 197 TFLOP/s bf16 MXU.  This workload forces
+# full-f32 matmuls (Precision.HIGHEST = 6-pass bf16 emulation on the MXU),
+# so the relevant dense-compute ceiling is ~197/6 = 32.8 TFLOP/s; most of
+# the small-matrix math here is actually VPU elementwise work whose ceiling
+# is lower still (~4 TFLOP/s class) — MFU is quoted against the f32 MXU
+# peak, i.e. as an upper bound on how much silicon the workload could ever
+# leave idle.  HBM: 819 GB/s.
+# ---------------------------------------------------------------------------
+
+V5E_PEAK_BF16 = 197e12
+V5E_PEAK_F32 = V5E_PEAK_BF16 / 6.0
+V5E_HBM_BPS = 819e9
+
+
+def roofline_fields(flops, hbm_bytes, dt, transcendentals=0):
+    """Achieved GFLOP/s, MFU vs the f32 MXU peak, arithmetic intensity, and
+    a latency/bandwidth/compute-bound verdict for a measured iteration time.
+
+    ``hbm_bytes`` is the MINIMUM traffic model: each major intermediate
+    written once + read once (XLA fusion can only approach this from above),
+    so the bandwidth-bound time is a lower bound and 'latency-bound' is a
+    conservative verdict."""
+    t_compute = flops / V5E_PEAK_F32
+    t_bw = hbm_bytes / V5E_HBM_BPS
+    if dt > 3.0 * max(t_compute, t_bw):
+        bound = "latency"
+    elif t_bw > t_compute:
+        bound = "bandwidth"
+    else:
+        bound = "compute"
+    return dict(
+        flops_per_iter=int(flops),
+        hbm_bytes_per_iter=int(hbm_bytes),
+        achieved_gflops=round(flops / dt / 1e9, 2),
+        mfu=round(flops / dt / V5E_PEAK_F32, 6),
+        arithmetic_intensity=round(flops / max(hbm_bytes, 1), 2),
+        roofline_bound=bound,
+        roofline_t_compute_us=round(t_compute * 1e6, 2),
+        roofline_t_bandwidth_us=round(t_bw * 1e6, 2),
+        transcendentals_per_iter=int(transcendentals),
+    )
+
+
+def _pdip_iter_flops(n, mr):
+    """One PDIP iteration on an (n-var, mr-row) QP (qp._pdip_solve body):
+    residuals (P@x, C@x, C'lam ~ 2n^2 + 4 mr n), H = P + (C' w) C
+    (2 mr n^2), unrolled Gauss-Jordan solve (~2/3 n^3 + 2 n^2, counted as
+    n^3 + 2n^2 for the full-row elimination actually traced), back-subs and
+    step-size logic (~10 mr + 6 n)."""
+    return (2 * n * n + 4 * mr * n) + 2 * mr * n * n + (
+        n ** 3 + 2 * n * n) + 10 * mr + 6 * n
+
+
+def pendulum_roofline(T, S, dt):
+    """Analytic per-iteration counts for the pendulum zero-order bench.
+
+    Dominant phases: Monte-Carlo sampling (T*S normal draws over p = n+m
+    dims), the smoothed rollout (T*S pendulum steps, ~12 flops + 1 sin
+    each), the per-knot normal-equation moments (S'S (p,p) + S'D (p,n):
+    2*S*(p^2 + p*n) flops per knot), tiny p^3 fits + (2,1)-sized Riccati,
+    and the 6-alpha line-search rollout."""
+    n, m = 2, 1
+    p = n + m
+    step = 12
+    flops = (
+        T * S * (p * 8)                      # Box-Muller-class RNG math
+        + T * S * step                       # smoothed rollout
+        + T * 2 * S * (p * p + p * n)        # moments
+        + T * (p ** 3 + 40)                  # fit + Riccati
+        + 6 * T * (step + 4 * n * n)         # line-search feedback rollouts
+    )
+    transcendentals = T * S * 2 + 6 * T      # sin per step; logs in RNG ~2/draw
+    hbm = 4 * (
+        2 * T * S * p                        # samples written + read
+        + 2 * T * S * n                      # rollout outputs
+        + 4 * T * p * p                      # moments + fits
+        + 8 * T * n                          # trajectories, gains, plans
+    )
+    return roofline_fields(flops, hbm, dt, transcendentals)
+
+
+def planar_hand_roofline(model, T, S, n_alpha, dt):
+    """Analytic per-iteration counts for the planar-hand contact bench.
+
+    Phases: (1) estimation — T*S contact QPs through the Pallas PDIP
+    surrogate (qp_iters=15) + geometry assembly; (2) the whole-loop Pallas
+    ADMM trajectory QP (aug n=11: one factorization + 12 affine sweeps);
+    (3) the serial true-dynamics forward rollout — T knots x n_alpha
+    line-search lanes x 10 warm-started PDIP iterations."""
+    nq = model.nq
+    mr = model.n_constraint_rows()
+    geom = 60 * mr + 40 * nq                 # narrow phase + row assembly
+    est_iters = 15                           # estimation_surrogate default
+    est = T * S * (geom + est_iters * _pdip_iter_flops(nq, mr))
+
+    n_aug, m = nq + 4, 4
+    sweeps = 12
+    fact = T * (6 * n_aug ** 3 + n_aug * m * m * 2)
+    sweep = sweeps * T * (6 * n_aug * n_aug + 4 * n_aug * m)
+    admm = fact + sweep
+
+    ws_iters = 10
+    rollout = n_alpha * T * (geom + ws_iters * _pdip_iter_flops(nq, mr))
+
+    flops = est + admm + rollout
+    transcendentals = (T * S + n_alpha * T) * 30   # trig in arm kinematics
+    hbm = 4 * (
+        3 * T * S * (nq * nq + mr * nq + nq + mr)  # QP data + solutions
+        + 2 * T * (n_aug * n_aug * 3)              # A/B/Q + gains
+        + 6 * T * n_alpha * nq                     # line-search trajectories
+    )
+    f = roofline_fields(flops, hbm, dt, transcendentals)
+    f.update(flops_estimation=int(est), flops_admm=int(admm),
+             flops_forward_rollout=int(rollout))
+    return f
+
+
 def build_planar_hand_solver():
     """The examples/planar_hand.py configuration (reference
     run_planar_hand.py task), inlined so bench.py has no examples/ import."""
@@ -250,11 +378,13 @@ def bench_planar_hand():
     # The reference never records wall-clock for its 18-process farm; the
     # 2 iterations/s denominator is OUR estimate (deliberately generous),
     # flagged as such in the artifact rather than presented as measured.
+    n_alpha = len(solver.params.line_search_alphas)
     emit("planar_hand_irs_iterations_per_s", iters_per_s,
          "iterations/s (50 samples x 30 knots, Pallas PDIP estimation + "
          "boxed-ADMM QP + contact forward rollout)",
          iters_per_s / 2.0, ms_per_iter=round(dt * 1e3, 3),
          baseline_estimated=True, baseline_iters_per_s_assumed=2.0,
+         **planar_hand_roofline(model, T, num_samples, n_alpha, dt),
          **spread_fields(dt, dt_lo, dt_hi, lambda t: 1.0 / t))
     rollouts = T * num_samples / dt
     emit("planar_hand_contact_rollouts_per_s_per_chip", rollouts,
@@ -300,6 +430,7 @@ def bench_pendulum():
     value = T * num_samples / dt
     emit("smoothed_rollouts_per_s_per_chip", value, "rollouts/s",
          value / 10_000.0,
+         **pendulum_roofline(T, num_samples, dt),
          **spread_fields(dt, dt_lo, dt_hi,
                          lambda t: T * num_samples / t))
 

@@ -21,7 +21,11 @@ from irs_mpc_tpu.models.contact.systems import make_planar_hand
 
 
 def build_solver(gradient_mode="zero_order_B", num_samples=50, T=30,
-                 num_iters_hint=10):
+                 num_iters_hint=10, **overrides):
+    """``overrides`` are applied onto the assembled IrsMpcParams
+    (dataclasses.replace) — used by the floor-probe drivers to swap the
+    initial trajectory, smoothing schedule, or trust region without
+    duplicating the task definition."""
     model = make_planar_hand(h=0.1)
     system = model.system()
     idx_u = model.indices_u_into_x()
@@ -74,6 +78,8 @@ def build_solver(gradient_mode="zero_order_B", num_samples=50, T=30,
         # (reduced QP iterations + Pallas lane-batched solver on TPU).
         estimation_system=model.estimation_surrogate(),
     )
+    if overrides:
+        params = dataclasses.replace(params, **overrides)
     return IrsMpc(system, params), model
 
 

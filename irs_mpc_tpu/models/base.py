@@ -58,6 +58,14 @@ class System:
     step_ws_fn: Optional[Callable[[Array, Array, object],
                                   tuple[Array, object]]] = None
     ws_init_fn: Optional[Callable[[], object]] = None
+    # Optional whole-chain line-searched feedback rollout (a Pallas kernel
+    # running every line-search lane x every knot x geometry + warm QP in
+    # one VMEM program, models/contact/pallas_rollout.py).  Signature:
+    # (x0, u_prev0, K, z_ref_x, z_ref_w|None, u_ref, lb, ub,
+    #  rel_lb|None, rel_ub|None) -> (xs (A,T+1,n), us (A,T,m)).
+    # Must match the solver's XLA scan rollout; the solver uses it only on
+    # the Pallas backend.
+    ls_rollout_fn: Optional[Callable] = None
 
     # ---- derived operators (all jit/vmap/shard compatible) -------------
 

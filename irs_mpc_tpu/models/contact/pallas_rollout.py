@@ -1,0 +1,507 @@
+"""Pallas TPU kernel: the ENTIRE line-searched contact forward rollout.
+
+The true-dynamics forward pass of a contact iRS-MPC iteration is a serial
+chain: 30 knots, each = feedback law + contact-geometry narrow phase + one
+warm-started PDIP contact QP (the reference's hot loop re-solves every knot
+cold through Gurobi, ``/root/reference/irs_lqr/quasistatic_dynamics.py:
+242-266``).  Under XLA the chain is a ``lax.scan`` whose body schedules
+~100 tiny kernels per knot — at ~6 line-search lanes of (7-11)-dim math the
+iteration is pure dispatch latency (bench.py roofline: the 6.4 ms contact
+iteration has ~1.5 us of compute at peak f32 throughput).  This kernel runs
+the WHOLE chain — all line-search alphas, all knots, geometry + QP +
+feedback — as one VMEM-resident Pallas program with zero HBM round-trips
+between knots.
+
+Layout: the line-search alphas ride the leading (sublane) axis (B = 8 >=
+n_alpha; spare lanes recompute alpha 0), per-knot quantities are (B, k)
+tiles and small dense (B, k, l) arrays.  The geometry is re-expressed at
+BUILD time into Mosaic-safe primitives: body index structure becomes rows
+of an identity input (no scatter/gather; Pallas kernels cannot capture
+non-scalar constants, so every constant matrix arrives as an input ref),
+contact rows accumulate structurally-sparse one-hot outer products, and the
+narrow phase (capsule/circle/halfspace against Arm2D / FreeBody2D / static
+bodies) is scalar column math on the VPU.  The warm-started PDIP mirrors
+``qp._pdip_solve(init=...)`` exactly (same shift/floor/cap constants) so
+the kernel and the XLA chain agree numerically.
+
+Scope: quasistatic models whose pairs use circle/capsule/halfspace shapes
+on FreeBody2D / Arm2D / StaticBody bodies under the Anitescu contact model
+(planar_hand and friends); anything else falls back to the XLA scan.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import geometry as geom
+
+Array = jax.Array
+
+_B = 8                      # sublane batch: line-search lanes (padded)
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Build-time support check + constant extraction
+# ---------------------------------------------------------------------------
+
+def supports_model(model) -> bool:
+    """True if every contact pair lowers to the kernel-safe narrow phase."""
+    if model.contact_model != "anitescu" or not model.pairs:
+        return False
+    for pair in model.pairs:
+        ba, bb = model.bodies[pair.body_a], model.bodies[pair.body_b]
+        kinds = (_body_kind(ba, pair.shape_a), _body_kind(bb, pair.shape_b))
+        if None in kinds:
+            return False
+        if kinds not in (("capsule", "circle"), ("circle", "capsule"),
+                         ("halfspace", "circle"), ("circle", "halfspace"),
+                         ("circle", "circle")):
+            return False
+    return True
+
+
+def _body_kind(body, shape_idx):
+    if isinstance(body, geom.Arm2D):
+        return "capsule"
+    if isinstance(body, geom.StaticBody):
+        s = body.shapes[shape_idx]
+        if isinstance(s, geom.HalfSpace):
+            return "halfspace"
+        if isinstance(s, geom.Circle):
+            return "circle"
+        return None
+    if isinstance(body, geom.FreeBody2D):
+        s = body.shapes[shape_idx]
+        if isinstance(s, geom.Circle) and tuple(s.center) == (0.0, 0.0):
+            # Off-center circles would need the body rotation applied to
+            # the center offset; not needed by any bundled model.
+            return "circle"
+        return None
+    return None
+
+
+def _hessian_constants(model):
+    """P diagonal (constant), and b(q, u) = pq_vec*q - u@KU' - tau_vec."""
+    nq, m = model.nq, model.dim_u
+    p_diag = np.zeros(nq, np.float32)
+    pq_vec = np.zeros(nq, np.float32)     # multiplies q in b
+    KU = np.zeros((nq, m), np.float32)    # multiplies u in b
+    tau = np.zeros(nq, np.float32)
+    gz = np.asarray(model.gravity, np.float32)
+    iu = 0
+    for mi in model.models:
+        idx = np.asarray(mi.q_indices)
+        if mi.actuated:
+            kp = np.asarray(mi.stiffness, np.float32)
+            p_diag[idx] = kp
+            pq_vec[idx] = kp
+            for j, qi in enumerate(idx):
+                KU[qi, iu + j] = kp[j]
+            iu += len(idx)
+        else:
+            mass = np.asarray(mi.mass, np.float32)
+            p_diag[idx] = mass / model.h ** 2
+            t = np.zeros(len(idx), np.float32)
+            if len(idx) >= 2:
+                t[0] = mass[0] * gz[0]
+                t[1] = mass[1] * gz[1]
+            tau[idx] += t
+    return p_diag, pq_vec, KU, tau
+
+
+# ---------------------------------------------------------------------------
+# Batched scalar-column geometry (everything is a (B, 1) column).
+#
+# ``consts`` carries the constant matrices as VALUES read from kernel input
+# refs (Pallas kernels cannot capture non-scalar constants):
+#   eye   (nq, nq)  identity — row i is the one-hot e_i
+#   pq    (1, nq)   stiffness row multiplying q in the bias
+#   KUT   (m, nq)   maps u into the bias
+#   tau   (1, nq)   gravity bias row
+#   pdiag (1, nq)   QP Hessian diagonal
+# ---------------------------------------------------------------------------
+
+def _col(x, i):
+    return x[:, i:i + 1]
+
+
+class _BodyFrame:
+    """Per-step world data + dense Jacobian rows for one body."""
+
+    def __init__(self, body, x, consts):
+        self.body = body
+        self.x = x
+        self.eye = consts["eye"]
+        if isinstance(body, geom.Arm2D):
+            zero_c = _col(x, 0) * 0.0
+            angles, pts = [], [(zero_c + float(body.base[0]),
+                                zero_c + float(body.base[1]))]
+            acc = None
+            for k, l in enumerate(body.link_lengths):
+                a = _col(x, body.joint_idx[k])
+                acc = a if acc is None else acc + a
+                ang = acc + float(body.angle_offset)
+                angles.append(ang)
+                py, pz = pts[-1]
+                pts.append((py + jnp.sin(ang) * float(l),
+                            pz - jnp.cos(ang) * float(l)))
+            self.joints = pts          # [(py, pz)] length L+1
+        elif isinstance(body, geom.FreeBody2D):
+            self.c = (_col(x, body.idx_pos[0]), _col(x, body.idx_pos[1]))
+
+    def _e(self, i):
+        return self.eye[i:i + 1, :]           # (1, nq) one-hot
+
+    def shape_world(self, shape_idx):
+        """Returns ("kind", params...) with scalar-column params."""
+        b = self.body
+        if isinstance(b, geom.Arm2D):
+            a0 = self.joints[shape_idx]
+            a1 = self.joints[shape_idx + 1]
+            return ("capsule", a0, a1, float(b.radius))
+        if isinstance(b, geom.StaticBody):
+            s = b.shapes[shape_idx]
+            if isinstance(s, geom.HalfSpace):
+                return ("halfspace", (float(s.normal[0]),
+                                      float(s.normal[1])), float(s.offset))
+            zero_c = _col(self.x, 0) * 0.0
+            return ("circle", (zero_c + float(s.center[0]),
+                               zero_c + float(s.center[1])),
+                    float(s.radius))
+        if isinstance(b, geom.FreeBody2D):
+            s = b.shapes[shape_idx]
+            return ("circle", (self.c[0], self.c[1]), float(s.radius))
+        raise NotImplementedError(type(b))
+
+    def point_jacobian_rows(self, p, shape_idx):
+        """Dense (B, nq) rows (Jy, Jz) for a point p = (py, pz) on this
+        body — the scatter-free re-expression of geometry.point_jacobian:
+        every q-index becomes a one-hot row of the identity input."""
+        b = self.body
+        zero = self.x * 0.0
+        if isinstance(b, geom.StaticBody):
+            return zero, zero
+        py, pz = p
+        if isinstance(b, geom.FreeBody2D):
+            Jy = zero + self._e(b.idx_pos[0])
+            Jz = zero + self._e(b.idx_pos[1])
+            if b.idx_rot is not None:
+                cy, cz = self.c
+                # perp(p - c) = (-(pz - cz), (py - cy))
+                Jy = Jy + (-(pz - cz)) * self._e(b.idx_rot)
+                Jz = Jz + (py - cy) * self._e(b.idx_rot)
+            return Jy, Jz
+        if isinstance(b, geom.Arm2D):
+            Jy, Jz = zero, zero
+            for j in range(shape_idx + 1):
+                jy, jz = self.joints[j]
+                Jy = Jy + (-(pz - jz)) * self._e(b.joint_idx[j])
+                Jz = Jz + (py - jy) * self._e(b.joint_idx[j])
+            return Jy, Jz
+        raise NotImplementedError(type(b))
+
+
+def _circle_circle(ca, ra, cb, rb):
+    dy = cb[0] - ca[0]
+    dz = cb[1] - ca[1]
+    dist = jnp.sqrt(dy * dy + dz * dz + 1e-12)
+    ny, nz = dy / dist, dz / dist
+    phi = dist - ra - rb
+    py = ca[0] + ny * (ra + 0.5 * phi)
+    pz = ca[1] + nz * (ra + 0.5 * phi)
+    return phi, (py, pz), (ny, nz)
+
+
+def _capsule_circle(a0, a1, ra, cb, rb):
+    aby = a1[0] - a0[0]
+    abz = a1[1] - a0[1]
+    den = aby * aby + abz * abz + 1e-12
+    t = jnp.clip(((cb[0] - a0[0]) * aby + (cb[1] - a0[1]) * abz) / den,
+                 0.0, 1.0)
+    cp = (a0[0] + t * aby, a0[1] + t * abz)
+    return _circle_circle(cp, ra, cb, rb)
+
+
+def _circle_halfspace(c, r, normal, offset):
+    ny, nz = float(normal[0]), float(normal[1])
+    phi = ny * c[0] + nz * c[1] - offset - r
+    p = (c[0] - ny * r, c[1] - nz * r)
+    zero_c = c[0] * 0.0
+    return phi, p, (zero_c + ny, zero_c + nz)
+
+
+def _assemble(model, consts, x, u):
+    """b (B, nq), C (B, mr, nq), d (B, mr) in the solver's C dq <= d form
+    (Anitescu).  Pure jnp on traced values + ``consts`` — safe both inside
+    Pallas kernels and in plain XLA (tests)."""
+    b = consts["pq"] * x \
+        - jnp.dot(u, consts["KUT"], preferred_element_type=jnp.float32,
+                  precision=_HI) - consts["tau"]
+    frames = [_BodyFrame(body, x, consts) for body in model.bodies]
+    C_rows: List[Array] = []
+    d_cols: List[Array] = []
+    for pair in model.pairs:
+        fa, fb = frames[pair.body_a], frames[pair.body_b]
+        sa = fa.shape_world(pair.shape_a)
+        sb = fb.shape_world(pair.shape_b)
+        ka, kb = sa[0], sb[0]
+        flip = False
+        if (ka, kb) == ("capsule", "circle"):
+            phi, p, n = _capsule_circle(sa[1], sa[2], sa[3], sb[1], sb[2])
+        elif (ka, kb) == ("circle", "capsule"):
+            phi, p, n = _capsule_circle(sb[1], sb[2], sb[3], sa[1], sa[2])
+            flip = True
+        elif (ka, kb) == ("halfspace", "circle"):
+            phi, p, n = _circle_halfspace(sb[1], sb[2], sa[1], sa[2])
+        elif (ka, kb) == ("circle", "halfspace"):
+            phi, p, n = _circle_halfspace(sa[1], sa[2], sb[1], sb[2])
+            flip = True
+        elif (ka, kb) == ("circle", "circle"):
+            phi, p, n = _circle_circle(sa[1], sa[2], sb[1], sb[2])
+        else:  # pragma: no cover - guarded by supports_model
+            raise NotImplementedError((ka, kb))
+        ny, nz = n
+        if flip:
+            ny, nz = -ny, -nz
+        Jay, Jaz = fa.point_jacobian_rows(p, pair.shape_a)
+        Jby, Jbz = fb.point_jacobian_rows(p, pair.shape_b)
+        Jrel_y = Jby - Jay
+        Jrel_z = Jbz - Jaz
+        Jn = ny * Jrel_y + nz * Jrel_z
+        # t = perp(n) = (-nz, ny)
+        Jt = (-nz) * Jrel_y + ny * Jrel_z
+        # Anitescu rows in solver form: C = -G, d = phi.
+        C_rows.append(-(Jn + pair.mu * Jt))
+        C_rows.append(-(Jn - pair.mu * Jt))
+        d_cols.append(phi)
+        d_cols.append(phi)
+    C = jnp.stack(C_rows, axis=1)                    # (B, mr, nq)
+    d = jnp.concatenate(d_cols, axis=1)              # (B, mr)
+    return b, C, d
+
+
+def make_consts(model):
+    """The constant-matrix inputs the kernel/assembly needs, as jnp arrays
+    (host side; they become VMEM input refs of the kernel)."""
+    p_diag, pq_vec, KU, tau = _hessian_constants(model)
+    return {
+        "eye": jnp.eye(model.nq, dtype=jnp.float32),
+        "pq": jnp.asarray(pq_vec[None, :]),
+        "KUT": jnp.asarray(KU.T),
+        "tau": jnp.asarray(tau[None, :]),
+        "pdiag": jnp.asarray(p_diag[None, :]),
+    }
+
+
+_CONST_KEYS = ("eye", "pq", "KUT", "tau", "pdiag")
+
+
+def assemble_xla(model, x, u):
+    """Host/XLA entry for tests: batched (b, C, d) assembly."""
+    return _assemble(model, make_consts(model), x, u)
+
+
+# ---------------------------------------------------------------------------
+# Dense-batched warm PDIP (mirrors qp._pdip_solve(init=...) exactly)
+# ---------------------------------------------------------------------------
+
+def _gauss_batched(H, rhs, eye):
+    """Solve H x = rhs for H (B, n, n), rhs (B, n) by Gauss-Jordan with
+    batched elementwise row ops (no pivoting — same as ops/linalg).  ``eye``
+    is the (n, n) identity value (one-hot source)."""
+    B, n, _ = H.shape
+    M = jnp.concatenate([H, rhs[:, :, None]], axis=2)    # (B, n, n+1)
+    for k in range(n):
+        piv = M[:, k:k + 1, k:k + 1]                     # (B, 1, 1)
+        rowk = M[:, k:k + 1, :] / piv                    # (B, 1, n+1)
+        f = M[:, :, k:k + 1]                             # (B, n, 1)
+        # Eliminate into every row; the masked term restores row k itself
+        # (a scatter-free way to write "rows != k").
+        mask_k = eye[:, k:k + 1][None]                   # (1, n, 1)
+        M = M - f * rowk + mask_k * rowk
+    return M[:, :, n]
+
+
+def _pdip_warm_dense(consts, b, C, d, dq0, lam0, iters, sigma=0.25):
+    """Warm-started PDIP on B independent QPs with diagonal P — the dense-
+    batched form of qp._pdip_solve's init branch (same delta shift, floors,
+    caps, fraction-to-boundary, last-finite tracking)."""
+    B, nq = b.shape
+    mr = d.shape[1]
+    delta = 1e-2
+    mu_floor = 3e-7
+    w_cap = 1e10
+    eye = consts["eye"]
+    Pd = consts["pdiag"]                                  # (1, nq)
+    Pdmat = (eye * (Pd + 1e-8))[None]                     # (1, nq, nq)
+
+    ok0 = jnp.all(jnp.isfinite(dq0), axis=1, keepdims=True)
+    x = jnp.where(ok0, dq0, 0.0)
+    Cx = jnp.sum(C * x[:, None, :], axis=2)
+    slack = d - Cx
+    shift = jnp.maximum(0.0, -jnp.min(slack, axis=1, keepdims=True)) + delta
+    s = slack + shift
+    lam = jnp.where(jnp.isfinite(lam0), lam0, 1.0)
+    lam = jnp.clip(lam, delta, 1e6)
+
+    x_keep = x
+    for _ in range(iters):
+        mu = jnp.maximum(jnp.sum(s * lam, axis=1, keepdims=True) / mr,
+                         mu_floor)
+        Cx = jnp.sum(C * x[:, None, :], axis=2)           # (B, mr)
+        r_d = Pd * x + b + jnp.sum(C * lam[:, :, None], axis=1)
+        r_p = Cx + s - d
+        r_c = lam * s - sigma * mu
+        s_safe = jnp.maximum(s, 1e-7)
+        w = jnp.minimum(lam / s_safe, w_cap)              # (B, mr)
+        Cw = C * w[:, :, None]
+        H = Pdmat + jnp.sum(C[:, :, :, None] * Cw[:, :, None, :], axis=1)
+        t_k = w * r_p - r_c / s_safe
+        rhs = -(r_d + jnp.sum(C * t_k[:, :, None], axis=1))
+        dx = _gauss_batched(H, rhs, eye)
+        Cdx = jnp.sum(C * dx[:, None, :], axis=2)
+        ds = -r_p - Cdx
+        dlam = (-r_c - lam * ds) / s_safe
+
+        ratio_s = jnp.where(ds < 0, -s / jnp.where(ds < 0, ds, -1.0),
+                            jnp.inf)
+        ratio_l = jnp.where(dlam < 0, -lam / jnp.where(dlam < 0, dlam, -1.0),
+                            jnp.inf)
+        amax = jnp.minimum(jnp.min(ratio_s, axis=1, keepdims=True),
+                           jnp.min(ratio_l, axis=1, keepdims=True))
+        alpha = jnp.minimum(1.0, 0.995 * amax)
+        x_new = x + alpha * dx
+        s = s + alpha * ds
+        lam = lam + alpha * dlam
+        ok = jnp.all(jnp.isfinite(x_new), axis=1, keepdims=True)
+        x_keep = jnp.where(ok, x_new, x_keep)
+        x = x_new
+
+    lam = jnp.where(jnp.isfinite(lam), lam, 1.0)
+    return x_keep, lam
+
+
+# ---------------------------------------------------------------------------
+# The whole-chain kernel
+# ---------------------------------------------------------------------------
+
+def _rollout_kernel(model, T, nq, m, aug, has_rel, iters,
+                    K_ref, zrx_ref, zrw_ref, ur_ref,
+                    lb_ref, ub_ref, rlb_ref, rub_ref,
+                    x0_ref, up0_ref,
+                    eye_ref, pq_ref, kut_ref, tau_ref, pdiag_ref,
+                    x_out, u_out,
+                    x_scr, up_scr, dq_scr, lam_scr):
+    f32 = jnp.float32
+    consts = {"eye": eye_ref[:], "pq": pq_ref[:], "KUT": kut_ref[:],
+              "tau": tau_ref[:], "pdiag": pdiag_ref[:]}
+    x_scr[:] = x0_ref[:]
+    up_scr[:] = up0_ref[:]
+    dq_scr[:] = x0_ref[:] * 0.0
+    lam_scr[:] = lam_scr[:] * 0.0 + 1.0
+    x_out[0] = x0_ref[:]
+
+    def knot(t, _):
+        x = x_scr[:]                          # (B, nq)
+        up = up_scr[:]                        # (B, m)
+        Kt = K_ref[t]                         # (m, nz)
+        # u = u_ref - K (z - z_ref); z split into (x | w) blocks.
+        dz_x = x - zrx_ref[t]
+        fb = jnp.dot(dz_x, jnp.transpose(Kt[:, :nq]),
+                     preferred_element_type=f32, precision=_HI)
+        if aug:
+            dz_w = up - zrw_ref[t]
+            fb = fb + jnp.dot(dz_w, jnp.transpose(Kt[:, nq:]),
+                              preferred_element_type=f32, precision=_HI)
+        u = ur_ref[t] - fb
+        if has_rel:
+            u = jnp.clip(u, up + rlb_ref[t], up + rub_ref[t])
+        u = jnp.clip(u, lb_ref[t], ub_ref[t])
+
+        b, C, d = _assemble(model, consts, x, u)
+        dq, lam = _pdip_warm_dense(consts, b, C, d, dq_scr[:], lam_scr[:],
+                                   iters)
+        dq_scr[:] = dq
+        lam_scr[:] = lam
+        xn = x + dq
+        x_out[t + 1] = xn
+        u_out[t] = u
+        x_scr[:] = xn
+        up_scr[:] = u
+        return 0
+
+    jax.lax.fori_loop(0, T, knot, 0)
+
+
+def linesearch_rollout_pallas(model, x0, u_prev0, K, z_ref_x, z_ref_w,
+                              u_ref, lb, ub, rel_lb, rel_ub,
+                              interpret: bool = False):
+    """Run the full line-searched contact rollout chain in one kernel.
+
+    Shapes: x0 (nq,), u_prev0 (m,), K (T, m, nz), z_ref_x (A, T, nq),
+    z_ref_w (A, T, m) or None, u_ref (A, T, m), lb/ub (T, m) and
+    rel_lb/rel_ub (T, m) or None.  Returns xs (A, T+1, nq), us (A, T, m)
+    matching the XLA scan path (modulo float reassociation).
+    """
+    A_ls, T, m = u_ref.shape
+    nq = model.nq
+    mr = model.n_constraint_rows()
+    aug = z_ref_w is not None
+    has_rel = rel_lb is not None
+    f32 = jnp.float32
+    iters = int(model.qp_iters_ws)
+
+    def pad_lanes(a):
+        """(A, T, k) -> (T, B, k): alpha axis onto sublanes, pad with lane 0
+        (computes a duplicate of alpha 0 — finite, discarded)."""
+        pad = jnp.broadcast_to(a[0:1], (_B - A_ls,) + a.shape[1:])
+        return jnp.swapaxes(jnp.concatenate([a, pad], axis=0), 0, 1)
+
+    big = 1e9
+
+    def bound_rows(bv, fill):
+        bv = jnp.nan_to_num(jnp.asarray(bv, f32), posinf=big, neginf=-big)
+        return jnp.broadcast_to(bv[:, None, :], (T, _B, m))
+
+    consts = make_consts(model)
+    inputs = [
+        K.astype(f32),
+        pad_lanes(z_ref_x.astype(f32)),
+        (pad_lanes(z_ref_w.astype(f32)) if aug
+         else jnp.zeros((T, _B, m), f32)),
+        pad_lanes(u_ref.astype(f32)),
+        bound_rows(lb, -big), bound_rows(ub, big),
+        (bound_rows(rel_lb, -big) if has_rel
+         else jnp.zeros((T, _B, m), f32)),
+        (bound_rows(rel_ub, big) if has_rel
+         else jnp.zeros((T, _B, m), f32)),
+        jnp.broadcast_to(x0.astype(f32), (_B, nq)),
+        jnp.broadcast_to(u_prev0.astype(f32), (_B, m)),
+    ] + [consts[k] for k in _CONST_KEYS]
+    kernel = functools.partial(
+        _rollout_kernel, model, T, nq, m, aug, has_rel, iters)
+    x_t, u_t = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((T + 1, _B, nq), f32),
+                   jax.ShapeDtypeStruct((T, _B, m), f32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(2)),
+        scratch_shapes=[
+            pltpu.VMEM((_B, nq), f32),     # x carry
+            pltpu.VMEM((_B, m), f32),      # u_prev carry
+            pltpu.VMEM((_B, nq), f32),     # warm dq carry
+            pltpu.VMEM((_B, mr), f32),     # warm lam carry
+        ],
+        interpret=interpret,
+    )(*inputs)
+    xs = jnp.swapaxes(x_t, 0, 1)[:A_ls]
+    us = jnp.swapaxes(u_t, 0, 1)[:A_ls]
+    return xs, us

@@ -303,11 +303,21 @@ class QuasistaticModel:
                 return x + dq
 
         use_ws = self.qp_iters_ws > 0 and bool(self.pairs)
+
+        ls_rollout_fn = None
+        if use_ws:
+            from . import pallas_rollout
+            if pallas_rollout.supports_model(self):
+                def ls_rollout_fn(*args):
+                    return pallas_rollout.linesearch_rollout_pallas(
+                        self, *args)
+
         return System(name=self.name, dim_x=self.nq, dim_u=self.dim_u,
                       h=self.h, step=self.step,
                       step_batch_fn=step_batch_fn,
                       step_ws_fn=self.step_ws if use_ws else None,
-                      ws_init_fn=self.ws_init if use_ws else None)
+                      ws_init_fn=self.ws_init if use_ws else None,
+                      ls_rollout_fn=ls_rollout_fn)
 
     def estimation_surrogate(self, qp_iters: int = 15) -> System:
         """Cheaper system for the Monte-Carlo estimation sweep: reduced QP

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import lqr as lqr_ops
 
@@ -208,23 +209,34 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
     y0 = zeros_like_svals()
 
     # Hot path: the whole ADMM loop as ONE VMEM-resident Pallas kernel
-    # (ops/pallas_admm.py) — factorize once, sweep entirely on-chip.  Only
-    # the input-box case is kernelized (the contact drivers' trust-region
-    # path); everything else falls through to the XLA loops below.
-    if (backend == "pallas" and not parallel
-            and bounds.u is not None and bounds.x is None
-            and bounds.dx is None and bounds.du is None):
-        from .pallas_admm import solve_boxed_tvlqr_ubox_pallas
-        x_trj, u_trj, K, k, z_u, zp_u = solve_boxed_tvlqr_ubox_pallas(
-            prob, bounds.u[0], bounds.u[1], z0.u, y0.u,
-            rho=rho, iters=iters, over_relax=over_relax)
-        gains = lqr_ops.LqrGains(
-            K=K, k=k,
-            P=jnp.zeros((T + 1, n, n), f32), p=jnp.zeros((T + 1, n), f32))
-        return AdmmSolution(
-            x_trj=x_trj, u_trj=u_trj, gains=gains,
-            r_primal=jnp.max(jnp.abs(u_trj - z_u)),
-            r_dual=rho * jnp.max(jnp.abs(z_u - zp_u)))
+    # (ops/pallas_admm.py) — factorize once, sweep entirely on-chip.  All
+    # four bound kinds are supported; the du kind additionally needs the
+    # standard augmentation layout (w = x[n_phys:], the only one the solver
+    # builds) — anything else falls through to the XLA loops below.
+    if backend == "pallas" and not parallel:
+        du_ok = bounds.du is None
+        if not du_ok and idx_w is not None and n - n_phys == m:
+            try:
+                du_ok = bool(np.array_equal(np.asarray(idx_w),
+                                            np.arange(n_phys, n)))
+            except Exception:   # traced idx_w: cannot verify -> XLA path
+                du_ok = False
+        if du_ok:
+            from .pallas_admm import solve_boxed_tvlqr_pallas
+            x_trj, u_trj, K, k, z_d, zp_d = solve_boxed_tvlqr_pallas(
+                prob, bounds, z0, y0, n_phys=n_phys,
+                rho=rho, iters=iters, over_relax=over_relax)
+            gains = lqr_ops.LqrGains(
+                K=K, k=k,
+                P=jnp.zeros((T + 1, n, n), f32),
+                p=jnp.zeros((T + 1, n), f32))
+            s = _stage_values(prob, x_trj, u_trj, n_phys, idx_w)
+            r_primal = jnp.max(jnp.stack([
+                jnp.max(jnp.abs(getattr(s, kd) - z_d[kd])) for kd in z_d]))
+            r_dual = rho * jnp.max(jnp.stack([
+                jnp.max(jnp.abs(z_d[kd] - zp_d[kd])) for kd in z_d]))
+            return AdmmSolution(x_trj=x_trj, u_trj=u_trj, gains=gains,
+                                r_primal=r_primal, r_dual=r_dual)
 
     a = jnp.asarray(over_relax, f32)
 
@@ -273,10 +285,15 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
     (z, y, (x_trj, u_trj, gains), z_prev), _ = jax.lax.scan(
         sweep, (z0, y0, init_sol, z0), None, length=iters)
 
+    # Residuals over the ENABLED bound kinds only: a disabled kind's z
+    # tracks the raw stage value (clip_or's default branch), so including it
+    # would leak unconstrained solution movement into the dual residual.
     s = _stage_values(prob, x_trj, u_trj, n_phys, idx_w)
+    enabled = [kd for kd in _SVals._fields if getattr(bounds, kd) is not None]
     r_primal = jnp.max(jnp.stack([
-        jnp.max(jnp.abs(a - b)) for a, b in zip(s, z)]))
+        jnp.max(jnp.abs(getattr(s, kd) - getattr(z, kd))) for kd in enabled]))
     r_dual = jnp.max(jnp.stack([
-        rho * jnp.max(jnp.abs(a - b)) for a, b in zip(z, z_prev)]))
+        rho * jnp.max(jnp.abs(getattr(z, kd) - getattr(z_prev, kd)))
+        for kd in enabled]))
     return AdmmSolution(x_trj=x_trj, u_trj=u_trj, gains=gains,
                         r_primal=r_primal, r_dual=r_dual)

@@ -9,17 +9,23 @@ one kernel launch + one XLA rollout scan per sweep.  This kernel exploits
 the ADMM structure end-to-end:
 
 * the box penalties only perturb the LINEAR cost terms (every quadratic
-  penalty is rho*S'S for a constant selector), so the Riccati factorization
-  (K_t, H_t^{-1}, G_t, P_{t+1}c_t) is computed ONCE, in-kernel;
+  penalty is rho*S'S for a constant stage-affine selector S — even the
+  dx-box selector D_t = A_t - I is sweep-invariant because A is fixed), so
+  the Riccati factorization (K_t, H_t^{-1}, G_t, P_{t+1}c_t) is computed
+  ONCE, in-kernel, over the host-penalized quadratics;
 * each sweep is then just an affine backward recursion + a forward rollout
   + elementwise consensus updates — all on VMEM-resident state, zero HBM
   traffic between sweeps.
 
-Scope: the input-box-only case (``BoxBounds.u``), which is the contact
-drivers' hot path (trust-region boxes in Δu mode, ``run_planar_hand.py:
-137-140``); other bound kinds fall back to ops/admm's XLA paths.
-Measured on the planar-hand problem (T=30, n=11, m=4, 12 sweeps): 2.0 ms
-(per-sweep Pallas Riccati) -> ~0.4 ms (this kernel).
+Scope: ALL FOUR bound kinds of the reference QP (``tv_lqr.py:113-124``) —
+absolute state boxes (x), absolute input boxes (u, the contact drivers'
+trust-region path), relative state boxes (dx = x_{t+1}-x_t), and relative
+input boxes (du = u_t - w_t, with w the augmented prev-input block) — so
+the bicycle-hard steering bound and plate-pickup's ``u_bounds_rel`` hit the
+kernel too.  The du case requires the standard augmentation layout
+(w = x[n_phys:], i.e. ``idx_w == arange(n_phys, n)``), which is the only
+layout the solver builds.  Measured on the planar-hand problem (T=30, n=11,
+m=4, 12 sweeps): 2.0 ms (per-sweep Pallas Riccati) -> ~0.4 ms (this kernel).
 
 Supports over-relaxation (a in [1, 2)) exactly as ops/admm.solve_boxed_tvlqr.
 """
@@ -37,113 +43,297 @@ from .pallas_riccati import _gauss_solve_rows
 
 Array = jax.Array
 
+_HI = jax.lax.Precision.HIGHEST
 
-def _admm_kernel(T: int, n: int, m: int, iters: int, rho: float, a: float,
-                 A_ref, At_ref, B_ref, Bt_ref, c_ref,
-                 Q_ref, R_ref, Nt_ref, q_ref, r_ref, Qf_ref, qf_ref,
-                 x0_ref, lb_ref, ub_ref, z0_ref, y0_ref,
-                 x_out, u_out, K_out, k_out, z_out, zp_out,
-                 P_scr, p_scr, Hinv_scr, G_scr, Pc_scr,
-                 z_scr, y_scr, zp_scr, xcur_scr):
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_HI)
+
+
+def _make_kernel(T: int, n: int, m: int, n_phys: int, iters: int,
+                 rho: float, a: float,
+                 has_x: bool, has_u: bool, has_dx: bool, has_du: bool):
+    """Builds the kernel body for a given static bound-kind combination.
+
+    Ref layout (inputs, then outputs, then scratch — bound-kind blocks only
+    present when the kind is enabled):
+      inputs:  A, At, B, Bt, c, Q, R, Nt, q, r, Qf, qf, x0,
+               [x: lb ub z0 y0] [u: lb ub z0 y0] [dx: ...] [du: ...]
+      outputs: x, u, K, k, [per kind: z, z_prev]
+      scratch: P, p, Hinv, G, Pc, xcur, [per kind: z, y, zp]
+    """
     f32 = jnp.float32
-    eye_m = jnp.eye(m, dtype=f32)
+    n_pad = n - n_phys          # tail block (prev-input w) size, 0 if none
 
-    # ---- one-time Riccati factorization over the PENALIZED quadratics ----
-    # (Q_ref/R_ref arrive penalized from the host wrapper; the z/y consensus
-    # variables only ever touch the linear terms below.)
-    P_scr[:] = Qf_ref[:]
+    def kernel(*refs):
+        it = iter(refs)
+        A_ref, At_ref, B_ref, Bt_ref, c_ref = [next(it) for _ in range(5)]
+        Q_ref, R_ref, Nt_ref, q_ref, r_ref = [next(it) for _ in range(5)]
+        Qf_ref, qf_ref, x0_ref = [next(it) for _ in range(3)]
+        bnd_in = {}
+        for kind, enabled in (("x", has_x), ("u", has_u),
+                              ("dx", has_dx), ("du", has_du)):
+            if enabled:
+                bnd_in[kind] = tuple(next(it) for _ in range(4))
+        x_out, u_out, K_out, k_out = [next(it) for _ in range(4)]
+        bnd_out = {}
+        for kind, enabled in (("x", has_x), ("u", has_u),
+                              ("dx", has_dx), ("du", has_du)):
+            if enabled:
+                bnd_out[kind] = tuple(next(it) for _ in range(2))
+        P_scr, p_scr, Hinv_scr, G_scr, Pc_scr, xcur_scr = [
+            next(it) for _ in range(6)]
+        bnd_scr = {}
+        for kind, enabled in (("x", has_x), ("u", has_u),
+                              ("dx", has_dx), ("du", has_du)):
+            if enabled:
+                # z, y, z_prev (+ a w = x[n_phys:] stage buffer for du).
+                n_scr = 4 if kind == "du" else 3
+                bnd_scr[kind] = tuple(next(it) for _ in range(n_scr))
 
-    def fact(i, _):
-        t = T - 1 - i
-        P = P_scr[:]
-        Bt = Bt_ref[t]
-        PB = jnp.dot(P, B_ref[t], preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-        H = R_ref[t] + jnp.dot(Bt, PB, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-        PA = jnp.dot(P, A_ref[t], preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-        G = Nt_ref[t] + jnp.dot(Bt, PA, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-        Hinv = _gauss_solve_rows(H, eye_m, m)
-        K = jnp.dot(Hinv, G, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-        K_out[t] = K
-        Hinv_scr[t] = Hinv
-        G_scr[t] = G
-        Pc_scr[t] = jnp.dot(P, c_ref[t], preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-        AtPA = jnp.dot(At_ref[t], PA, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-        P_new = Q_ref[t] + AtPA - jnp.dot(
-            jnp.transpose(G), K, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-        P_scr[:] = 0.5 * (P_new + jnp.transpose(P_new))
-        return 0
+        eye_m = jnp.eye(m, dtype=f32)
+        # D_t^T = A_t^T[:, :n_phys] - I[:, :n_phys] for the dx penalty.
+        eye_n_cols = jnp.eye(n, dtype=f32)[:, :n_phys]
 
-    jax.lax.fori_loop(0, T, fact, 0)
+        # ---- one-time Riccati factorization over the PENALIZED quadratics
+        # (Q/R/N/Qf arrive penalized from the host wrapper; the z/y
+        # consensus variables only ever touch the linear terms below.)
+        P_scr[:] = Qf_ref[:]
 
-    z_scr[:] = z0_ref[:]
-    y_scr[:] = y0_ref[:]
-    zp_scr[:] = z0_ref[:]
-
-    def sweep(_, carry):
-        # -- affine backward recursion (z/y enter through r only: u-box) --
-        p_scr[:] = qf_ref[:]
-
-        def back(i, _):
+        def fact(i, _):
             t = T - 1 - i
-            r_pen = r_ref[t] - rho * (z_scr[t] - y_scr[t])
-            w = Pc_scr[t] + p_scr[:]
-            g = r_pen + jnp.dot(Bt_ref[t], w, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-            kv = jnp.dot(Hinv_scr[t], g, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-            k_out[t] = kv
-            p_scr[:] = q_ref[t] \
-                + jnp.dot(At_ref[t], w, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST) \
-                - jnp.dot(jnp.transpose(G_scr[t]), kv,
-                          preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
+            P = P_scr[:]
+            Bt = Bt_ref[t]
+            PB = _dot(P, B_ref[t])
+            H = R_ref[t] + _dot(Bt, PB)
+            PA = _dot(P, A_ref[t])
+            G = Nt_ref[t] + _dot(Bt, PA)
+            Hinv = _gauss_solve_rows(H, eye_m, m)
+            K = _dot(Hinv, G)
+            K_out[t] = K
+            Hinv_scr[t] = Hinv
+            G_scr[t] = G
+            Pc_scr[t] = _dot(P, c_ref[t])
+            AtPA = _dot(At_ref[t], PA)
+            P_new = Q_ref[t] + AtPA - _dot(jnp.transpose(G), K)
+            P_scr[:] = 0.5 * (P_new + jnp.transpose(P_new))
             return 0
 
-        jax.lax.fori_loop(0, T, back, 0)
+        jax.lax.fori_loop(0, T, fact, 0)
 
-        # -- forward rollout under the fixed gains --
-        xcur_scr[:] = x0_ref[:]
-        x_out[0] = x0_ref[:]
+        for kind in bnd_scr:
+            _, _, z0_ref, y0_ref = bnd_in[kind]
+            z_scr, y_scr, zp_scr = bnd_scr[kind][:3]
+            z_scr[:] = z0_ref[:]
+            y_scr[:] = y0_ref[:]
+            zp_scr[:] = z0_ref[:]
 
-        def fwd(t, _):
-            x = xcur_scr[:]
-            u = -(jnp.dot(K_out[t], x, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST)
-                  + k_out[t])
-            u_out[t] = u
-            xn = jnp.dot(A_ref[t], x, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST) \
-                + jnp.dot(B_ref[t], u, preferred_element_type=f32,
-                      precision=jax.lax.Precision.HIGHEST) \
-                + c_ref[t]
-            x_out[t + 1] = xn
-            xcur_scr[:] = xn
-            return 0
+        # Constant block selectors (dots, not concatenates — Mosaic lowers
+        # small matmuls on VMEM tiles reliably; in-kernel concatenate of
+        # unequal tiny blocks stalled the compiler).
+        sel_head = jnp.eye(n, n_phys, dtype=f32)        # (n, n_phys)
+        sel_tail = jnp.zeros((n, m), f32)
+        if n_pad:
+            sel_tail = sel_tail.at[n_phys:, :].set(jnp.eye(n_pad, m))
 
-        jax.lax.fori_loop(0, T, fwd, 0)
+        def pad_head(v):
+            """(n_phys, 1) -> (n, 1), zeros in the tail block."""
+            if n_pad == 0:
+                return v
+            return _dot(sel_head, v)
 
-        # -- over-relaxed consensus + dual updates (whole-horizon tiles) --
-        u_all = u_out[:]
-        z_old = z_scr[:]
-        zp_scr[:] = z_old
-        s_hat = a * u_all + (1.0 - a) * z_old
-        z_new = jnp.clip(s_hat + y_scr[:], lb_ref[:], ub_ref[:])
-        z_scr[:] = z_new
-        y_scr[:] = y_scr[:] + s_hat - z_new
-        return carry
+        def pad_tail(v):
+            """(m, 1) -> (n, 1), zeros in the head block (du selector W')."""
+            return _dot(sel_tail, v)
 
-    jax.lax.fori_loop(0, iters, sweep, 0)
-    z_out[:] = z_scr[:]
-    zp_out[:] = zp_scr[:]
+        def sweep(_, carry):
+            # -- per-sweep penalized linear terms + affine backward pass --
+            qf_pen = qf_ref[:]
+            if has_x:
+                z_scr, y_scr, _ = bnd_scr["x"]
+                qf_pen = qf_pen - rho * pad_head(z_scr[T] - y_scr[T])
+            p_scr[:] = qf_pen
+
+            def back(i, _):
+                t = T - 1 - i
+                q_pen = q_ref[t]
+                r_pen = r_ref[t]
+                if has_u:
+                    z_scr, y_scr, _ = bnd_scr["u"]
+                    r_pen = r_pen - rho * (z_scr[t] - y_scr[t])
+                if has_x:
+                    z_scr, y_scr, _ = bnd_scr["x"]
+                    q_pen = q_pen - rho * pad_head(z_scr[t] - y_scr[t])
+                if has_dx:
+                    z_scr, y_scr, _ = bnd_scr["dx"]
+                    e = c_ref[t][:n_phys] - (z_scr[t] - y_scr[t])
+                    DtT = At_ref[t][:, :n_phys] - eye_n_cols
+                    q_pen = q_pen + rho * _dot(DtT, e)
+                    r_pen = r_pen + rho * _dot(Bt_ref[t][:, :n_phys], e)
+                if has_du:
+                    z_scr, y_scr = bnd_scr["du"][:2]
+                    vdu = z_scr[t] - y_scr[t]
+                    q_pen = q_pen + rho * pad_tail(vdu)
+                    r_pen = r_pen - rho * vdu
+
+                w = Pc_scr[t] + p_scr[:]
+                g = r_pen + _dot(Bt_ref[t], w)
+                kv = _dot(Hinv_scr[t], g)
+                k_out[t] = kv
+                p_scr[:] = q_pen + _dot(At_ref[t], w) \
+                    - _dot(jnp.transpose(G_scr[t]), kv)
+                return 0
+
+            jax.lax.fori_loop(0, T, back, 0)
+
+            # -- forward rollout under the fixed gains --
+            xcur_scr[:] = x0_ref[:]
+            x_out[0] = x0_ref[:]
+
+            def fwd(t, _):
+                x = xcur_scr[:]
+                u = -(_dot(K_out[t], x) + k_out[t])
+                u_out[t] = u
+                if has_du:
+                    # w_t = x_t[n_phys:] via the tail selector — extracting
+                    # it per-step keeps the consensus update on contiguous
+                    # (T, m, 1) tiles (a whole-horizon strided slice of
+                    # x_out lowers very poorly in Mosaic).
+                    w_scr = bnd_scr["du"][3]
+                    w_scr[t] = _dot(jnp.transpose(sel_tail), x)
+                xn = _dot(A_ref[t], x) + _dot(B_ref[t], u) + c_ref[t]
+                x_out[t + 1] = xn
+                xcur_scr[:] = xn
+                return 0
+
+            jax.lax.fori_loop(0, T, fwd, 0)
+
+            # -- over-relaxed consensus + dual updates (whole-horizon
+            # tiles); stage values s are affine in the rollout just
+            # computed --
+            x_all = x_out[:]                    # (T+1, n, 1)
+            u_all = u_out[:]                    # (T, m, 1)
+            svals = {}
+            if has_x:
+                svals["x"] = x_all[:, :n_phys]
+            if has_u:
+                svals["u"] = u_all
+            if has_dx:
+                xs = x_all[:, :n_phys]
+                svals["dx"] = xs[1:] - xs[:-1]
+            if has_du:
+                svals["du"] = u_all - bnd_scr["du"][3][:]
+            for kind, s in svals.items():
+                lb_ref, ub_ref, _, _ = bnd_in[kind]
+                z_scr, y_scr, zp_scr = bnd_scr[kind][:3]
+                z_old = z_scr[:]
+                zp_scr[:] = z_old
+                s_hat = a * s + (1.0 - a) * z_old
+                z_new = jnp.clip(s_hat + y_scr[:], lb_ref[:], ub_ref[:])
+                z_scr[:] = z_new
+                y_scr[:] = y_scr[:] + s_hat - z_new
+            return carry
+
+        jax.lax.fori_loop(0, iters, sweep, 0)
+        for kind in bnd_scr:
+            z_out_ref, zp_out_ref = bnd_out[kind]
+            z_scr, _, zp_scr = bnd_scr[kind][:3]
+            z_out_ref[:] = z_scr[:]
+            zp_out_ref[:] = zp_scr[:]
+
+    return kernel
+
+
+def solve_boxed_tvlqr_pallas(
+        prob: lqr_ops.LqrProblem, bounds, z0, y0, n_phys: int,
+        rho: float, iters: int, over_relax: float = 1.0,
+        interpret: bool = False):
+    """Whole-loop boxed ADMM, all four bound kinds.
+
+    ``prob`` is the UNPENALIZED problem; the sweep-invariant quadratic
+    penalties are added here (the kernel handles the sweep-varying linear
+    terms).  ``bounds`` is ops/admm.BoxBounds; ``z0``/``y0`` are the initial
+    consensus/dual trees (ops/admm._SVals — only the enabled kinds are
+    read).  Returns (x_trj, u_trj, K, k, z_dict, zp_dict) with z/zp keyed by
+    enabled kind.
+    """
+    from . import admm as admm_ops
+
+    T, n, m = prob.B.shape
+    f32 = jnp.float32
+    has_x = bounds.x is not None
+    has_u = bounds.u is not None
+    has_dx = bounds.dx is not None
+    has_du = bounds.du is not None
+    idx_w = jnp.arange(n_phys, n) if (has_du or n > n_phys) else None
+
+    # Sweep-invariant quadratic penalties (host side, once); the linear
+    # terms are recomputed per sweep in-kernel, so reset them to the base.
+    zeros = jax.tree.map(jnp.zeros_like, z0)
+    pen = admm_ops._penalized_problem(prob, bounds, zeros, zeros, rho,
+                                      n_phys, idx_w)
+    pen = pen._replace(q=prob.q, r=prob.r, qf=prob.qf)
+
+    col = lambda v: v[..., None]
+    inputs = [
+        prob.A, jnp.swapaxes(prob.A, 1, 2),
+        prob.B, jnp.swapaxes(prob.B, 1, 2),
+        col(prob.c),
+        pen.Q, pen.R, jnp.swapaxes(pen.N, 1, 2),
+        col(prob.q), col(prob.r),
+        pen.Qf, col(prob.qf),
+        col(prob.x0),
+    ]
+    kinds = [(k, e) for k, e in (("x", has_x), ("u", has_u),
+                                 ("dx", has_dx), ("du", has_du)) if e]
+    for kind, _ in kinds:
+        b = getattr(bounds, kind)
+        inputs += [col(b[0]), col(b[1]),
+                   col(getattr(z0, kind)), col(getattr(y0, kind))]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((T + 1, n, 1), f32),     # x
+        jax.ShapeDtypeStruct((T, m, 1), f32),         # u
+        jax.ShapeDtypeStruct((T, m, n), f32),         # K
+        jax.ShapeDtypeStruct((T, m, 1), f32),         # k
+    ]
+    kind_dims = {"x": (T + 1, n_phys), "u": (T, m),
+                 "dx": (T, n_phys), "du": (T, m)}
+    for kind, _ in kinds:
+        tk, dk = kind_dims[kind]
+        out_shape += [jax.ShapeDtypeStruct((tk, dk, 1), f32)] * 2
+
+    scratch = [
+        pltpu.VMEM((n, n), f32),        # P
+        pltpu.VMEM((n, 1), f32),        # p
+        pltpu.VMEM((T, m, m), f32),     # Hinv
+        pltpu.VMEM((T, m, n), f32),     # G
+        pltpu.VMEM((T, n, 1), f32),     # P_{t+1} c_t
+        pltpu.VMEM((n, 1), f32),        # x carry
+    ]
+    for kind, _ in kinds:
+        tk, dk = kind_dims[kind]
+        n_scr = 4 if kind == "du" else 3    # z, y, z_prev (+ w for du)
+        scratch += [pltpu.VMEM((tk, dk, 1), f32)] * n_scr
+
+    kernel = _make_kernel(T, n, m, n_phys, int(iters), float(rho),
+                          float(over_relax), has_x, has_u, has_dx, has_du)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shape),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*[x.astype(f32) for x in inputs])
+
+    x_t, u_t, K, k_t = outs[:4]
+    z_dict, zp_dict = {}, {}
+    for i, (kind, _) in enumerate(kinds):
+        z_dict[kind] = outs[4 + 2 * i][..., 0]
+        zp_dict[kind] = outs[5 + 2 * i][..., 0]
+    return (x_t[..., 0], u_t[..., 0], K, k_t[..., 0], z_dict, zp_dict)
 
 
 def solve_boxed_tvlqr_ubox_pallas(
@@ -151,55 +341,19 @@ def solve_boxed_tvlqr_ubox_pallas(
         z0: Array, y0: Array,
         rho: float, iters: int, over_relax: float = 1.0,
         interpret: bool = False):
-    """Whole-loop boxed ADMM for the input-box-only case.
+    """Back-compat wrapper for the input-box-only case.
 
-    ``prob`` is the UNPENALIZED problem; the u-box quadratic penalty
-    (R + rho I) is added here.  ``z0``/``y0`` are the initial consensus and
-    dual values ((T, m) each), matching ops/admm's initialization.  Returns
-    (x_trj, u_trj, K, k, z, z_prev).
+    Returns (x_trj, u_trj, K, k, z, z_prev) as before.
     """
-    T, n, m = prob.B.shape
-    f32 = jnp.float32
+    from .admm import BoxBounds, _SVals
 
-    R_pen = prob.R + rho * jnp.eye(m, dtype=prob.R.dtype)[None]
-    inputs = (
-        prob.A, jnp.swapaxes(prob.A, 1, 2),
-        prob.B, jnp.swapaxes(prob.B, 1, 2),
-        prob.c[..., None],
-        prob.Q, R_pen, jnp.swapaxes(prob.N, 1, 2),
-        prob.q[..., None], prob.r[..., None],
-        prob.Qf, prob.qf[..., None],
-        prob.x0[..., None],
-        u_lb[..., None], u_ub[..., None],
-        z0[..., None], y0[..., None],
-    )
-    kernel = functools.partial(_admm_kernel, T, n, m, int(iters),
-                               float(rho), float(over_relax))
-    x_t, u_t, K, k_t, z_t, zp_t = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((T + 1, n, 1), f32),
-            jax.ShapeDtypeStruct((T, m, 1), f32),
-            jax.ShapeDtypeStruct((T, m, n), f32),
-            jax.ShapeDtypeStruct((T, m, 1), f32),
-            jax.ShapeDtypeStruct((T, m, 1), f32),
-            jax.ShapeDtypeStruct((T, m, 1), f32),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
-        out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)),
-        scratch_shapes=[
-            pltpu.VMEM((n, n), f32),        # P
-            pltpu.VMEM((n, 1), f32),        # p
-            pltpu.VMEM((T, m, m), f32),     # Hinv
-            pltpu.VMEM((T, m, n), f32),     # G
-            pltpu.VMEM((T, n, 1), f32),     # P_{t+1} c_t
-            pltpu.VMEM((T, m, 1), f32),     # z
-            pltpu.VMEM((T, m, 1), f32),     # y
-            pltpu.VMEM((T, m, 1), f32),     # z_prev
-            pltpu.VMEM((n, 1), f32),        # x carry
-        ],
-        interpret=interpret,
-    )(*[x.astype(f32) for x in inputs])
-    return (x_t[..., 0], u_t[..., 0], K, k_t[..., 0],
-            z_t[..., 0], zp_t[..., 0])
+    T, n, m = prob.B.shape
+    zeros_n = jnp.zeros((T + 1, n), jnp.float32)
+    zeros_tn = jnp.zeros((T, n), jnp.float32)
+    z0_t = _SVals(x=zeros_n, u=z0, dx=zeros_tn, du=jnp.zeros_like(z0))
+    y0_t = _SVals(x=zeros_n, u=y0, dx=zeros_tn, du=jnp.zeros_like(y0))
+    x_t, u_t, K, k_t, z_d, zp_d = solve_boxed_tvlqr_pallas(
+        prob, BoxBounds(u=jnp.stack([u_lb, u_ub])), z0_t, y0_t,
+        n_phys=n, rho=rho, iters=iters, over_relax=over_relax,
+        interpret=interpret)
+    return x_t, u_t, K, k_t, z_d["u"], zp_d["u"]

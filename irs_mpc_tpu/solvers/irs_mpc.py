@@ -572,7 +572,26 @@ class IrsMpc:
             return x_new, us, jnp.stack(channels)
 
         alphas = jnp.asarray(p.line_search_alphas, jnp.float32)
-        xs_all, us_all, costs_all = jax.vmap(rollout)(alphas)
+        if sys.ls_rollout_fn is not None and self._riccati_backend == "pallas":
+            # Whole-chain Pallas rollout: every line-search lane, every
+            # knot, geometry + warm contact QP, in one VMEM kernel
+            # (models/contact/pallas_rollout.py).  Semantically identical
+            # to the vmapped scan below.
+            a3 = alphas[:, None, None]
+            z_ref_all = z_nom[None] + a3 * (z_plan[None, :-1] - z_nom[None])
+            u_ref_all = u_trj[None] + a3 * (u_plan[None] - u_trj[None])
+            xs_all, us_all = sys.ls_rollout_fn(
+                x_trj[0], u_prev0, gains.K,
+                z_ref_all[..., :n],
+                z_ref_all[..., n:] if self._aug else None,
+                u_ref_all, lb, ub,
+                rel_lb if has_rel else None,
+                rel_ub if has_rel else None)
+            costs_all = jax.vmap(
+                lambda xx, uu: jnp.stack(self.eval_cost(xx, uu)))(
+                    xs_all, us_all)
+        else:
+            xs_all, us_all, costs_all = jax.vmap(rollout)(alphas)
         totals = jnp.where(jnp.isnan(costs_all[:, 0]), jnp.inf,
                            costs_all[:, 0])
         best = jnp.argmin(totals)

@@ -173,3 +173,98 @@ def test_admm_pallas_backend_dispatch():
                                atol=1e-3)
     np.testing.assert_allclose(float(pal.r_primal), float(ref.r_primal),
                                rtol=1e-2, atol=1e-3)
+
+
+def _delta_u_problem(T=5, n=4, m=2, seed=11):
+    """A Δu-augmented problem (n_aug = n + m, w = x[n:]) for du-box tests."""
+    rng = np.random.RandomState(seed)
+    A = jnp.asarray(rng.randn(T, n, n) * 0.3 + np.eye(n), jnp.float32)
+    B = jnp.asarray(rng.randn(T, n, m) * 0.5, jnp.float32)
+    c = jnp.asarray(rng.randn(T, n) * 0.1, jnp.float32)
+    Q = jnp.asarray(np.diag(rng.rand(n) + 0.5), jnp.float32)
+    R = jnp.asarray(np.diag(rng.rand(m) + 0.5), jnp.float32)
+    x0 = jnp.asarray(rng.randn(n), jnp.float32)
+    xd = jnp.asarray(rng.randn(T + 1, n) * 0.5, jnp.float32)
+    idx_u = jnp.asarray(np.arange(m), jnp.int32)
+    prob = lqr.build_delta_u_problem(A, B, c, Q, Q * 3, R, x0, xd, idx_u)
+    return prob, n
+
+
+@pytest.mark.parametrize("kinds", [("x",), ("dx",), ("x", "u"),
+                                   ("du",), ("u", "du")])
+def test_pallas_admm_all_bound_kinds_match_xla(kinds):
+    """The generalized whole-loop ADMM kernel must reproduce the XLA sweep
+    loop for EVERY bound kind (x / u / dx / du and combinations) — the
+    factorize-once argument holds because all quadratic penalties are
+    sweep-invariant (even dx's D = A - I selector).  du runs on the
+    Δu-augmented problem (w = x[n_phys:]), matching plate-pickup's
+    u_bounds_rel path; x covers the bicycle-hard steering bound."""
+    from irs_mpc_tpu.ops import admm as admm_ops
+
+    if "du" in kinds:
+        prob, n_phys = _delta_u_problem()
+        idx_w = jnp.arange(n_phys, prob.B.shape[1])
+    else:
+        prob = _problem(T=5, n=4, m=2, seed=13)
+        n_phys = prob.B.shape[1]
+        idx_w = None
+    T, n, m = prob.B.shape
+    b = {}
+    if "x" in kinds:
+        b["x"] = jnp.stack([jnp.full((T + 1, n_phys), -1.0),
+                            jnp.full((T + 1, n_phys), 1.0)])
+    if "u" in kinds:
+        b["u"] = jnp.stack([jnp.full((T, m), -0.3), jnp.full((T, m), 0.3)])
+    if "dx" in kinds:
+        b["dx"] = jnp.stack([jnp.full((T, n_phys), -0.5),
+                             jnp.full((T, n_phys), 0.5)])
+    if "du" in kinds:
+        b["du"] = jnp.stack([jnp.full((T, m), -0.2), jnp.full((T, m), 0.2)])
+    bounds = admm_ops.BoxBounds(**b)
+
+    kw = dict(n_phys=n_phys, idx_w=idx_w, rho=5.0, iters=4, over_relax=1.6)
+    ref = admm_ops.solve_boxed_tvlqr(prob, bounds, **kw)
+    if jax.devices()[0].platform != "tpu":
+        with pltpu.force_tpu_interpret_mode():
+            pal = admm_ops.solve_boxed_tvlqr(prob, bounds, backend="pallas",
+                                             **kw)
+    else:
+        pal = admm_ops.solve_boxed_tvlqr(prob, bounds, backend="pallas", **kw)
+    np.testing.assert_allclose(pal.u_trj, ref.u_trj, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(pal.x_trj, ref.x_trj, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(pal.gains.K, ref.gains.K, rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(float(pal.r_primal), float(ref.r_primal),
+                               rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(float(pal.r_dual), float(ref.r_dual),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_pallas_admm_dispatch_probe_x_and_du(monkeypatch):
+    """solve_boxed_tvlqr(backend="pallas") must actually route x-box and
+    du-box problems through the whole-loop kernel (not silently fall back to
+    the XLA path) — the bicycle-hard and plate-pickup configurations."""
+    from irs_mpc_tpu.ops import admm as admm_ops
+    from irs_mpc_tpu.ops import pallas_admm
+
+    calls = []
+    real = pallas_admm.solve_boxed_tvlqr_pallas
+
+    def probe(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pallas_admm, "solve_boxed_tvlqr_pallas", probe)
+
+    prob, n_phys = _delta_u_problem(seed=17)
+    T, n, m = prob.B.shape
+    bounds = admm_ops.BoxBounds(
+        x=jnp.stack([jnp.full((T + 1, n_phys), -1.0),
+                     jnp.full((T + 1, n_phys), 1.0)]),
+        du=jnp.stack([jnp.full((T, m), -0.2), jnp.full((T, m), 0.2)]))
+    with pltpu.force_tpu_interpret_mode():
+        sol = admm_ops.solve_boxed_tvlqr(
+            prob, bounds, n_phys=n_phys, idx_w=jnp.arange(n_phys, n),
+            rho=5.0, iters=3, backend="pallas")
+    assert calls, "pallas backend fell back to the XLA path"
+    assert bool(jnp.isfinite(sol.u_trj).all())

@@ -1,0 +1,112 @@
+"""The whole-chain line-searched contact rollout kernel
+(models/contact/pallas_rollout.py) vs its XLA references.
+
+Three levels: (1) the kernel-safe batched geometry assembly vs the
+scatter-based reference geometry; (2) the dense-batched warm PDIP vs
+qp._pdip_solve's warm branch; (3) the full iRS-MPC iteration with the
+kernel rollout (interpreted) vs the scan backend.  Level 3 is tolerance-
+based: active-row duals sit at the slack floor where their magnitude is
+float-order sensitive, so warm chains agree to ~1e-2 in u (the warm
+solve's own accuracy class vs a converged solve), not bitwise.
+"""
+import dataclasses
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from irs_mpc_tpu.models.contact import pallas_rollout as pr
+from irs_mpc_tpu.models.contact.qp import _pdip_solve
+from irs_mpc_tpu.models.contact.systems import make_planar_hand
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+
+
+def _states(model, B=8, scale=0.05, seed=0):
+    rng = np.random.RandomState(seed)
+    q0 = model.get_x_from_q_dict(
+        {"sphere": np.array([0.0, 0.35, 0.0]),
+         "arm_left": np.array([-np.pi / 4, -np.pi / 4]),
+         "arm_right": np.array([np.pi / 4, np.pi / 4])})
+    x = jnp.asarray(np.tile(q0, (B, 1)) + rng.randn(B, model.nq) * scale,
+                    jnp.float32)
+    u = jnp.asarray(
+        np.tile(q0[model.indices_u_into_x()], (B, 1))
+        + rng.randn(B, model.dim_u) * scale, jnp.float32)
+    return x, u
+
+
+def test_kernel_assembly_matches_geometry():
+    """The scatter-free one-hot assembly must reproduce _constraint_rows /
+    _hessian_and_bias on contact-rich states."""
+    model = make_planar_hand(h=0.1)
+    assert pr.supports_model(model)
+    for seed in (0, 1):
+        x, u = _states(model, scale=0.08, seed=seed)
+        b, C, d = jax.jit(lambda x, u: pr.assemble_xla(model, x, u))(x, u)
+        Cr, dr = jax.vmap(model._constraint_rows)(x)
+        Pr, br = jax.vmap(model._hessian_and_bias)(x, u)
+        np.testing.assert_allclose(C, Cr, atol=1e-5)
+        np.testing.assert_allclose(d, dr, atol=1e-5)
+        np.testing.assert_allclose(b, br, atol=1e-4)
+        p_diag = pr._hessian_constants(model)[0]
+        np.testing.assert_allclose(jax.vmap(jnp.diag)(Pr)[0], p_diag,
+                                   atol=1e-6)
+
+
+def test_dense_warm_pdip_matches_reference():
+    """Primal agreement with qp._pdip_solve's warm branch (duals on active
+    rows are float-order sensitive; the primal is the physics)."""
+    model = make_planar_hand(h=0.1)
+    x, u = _states(model, scale=0.05)
+    b, C, d = pr.assemble_xla(model, x, u)
+    P, _ = jax.vmap(model._hessian_and_bias)(x, u)
+    rng = np.random.RandomState(3)
+    B, mr = d.shape
+    dq0 = jnp.asarray(rng.randn(B, model.nq) * 0.01, jnp.float32)
+    lam0 = jnp.asarray(np.abs(rng.randn(B, mr)) + 0.5, jnp.float32)
+    consts = pr.make_consts(model)
+    xk, lamk = pr._pdip_warm_dense(consts, b, C, d, dq0, lam0, iters=10)
+    assert bool(jnp.isfinite(xk).all()) and bool(jnp.isfinite(lamk).all())
+    for i in range(B):
+        xi, _, _ = _pdip_solve(P[i], b[i], C[i], d[i], 10,
+                               init=(dq0[i], lam0[i]))
+        np.testing.assert_allclose(xk[i], xi, atol=5e-4)
+
+
+def test_kernel_rollout_iteration_matches_scan_backend():
+    """Full iteration with the interpreted rollout kernel vs the scan
+    backend: same descent, cost within the warm-chain tolerance."""
+    from planar_hand import build_solver
+
+    ref, _ = build_solver(num_samples=8, T=6, riccati_backend="scan")
+    x_r, u_r, _, cv_r = ref._iteration_jit(
+        ref.x_trj, ref.u_trj, ref.key, jnp.asarray(1.0, jnp.float32))
+
+    pal, _ = build_solver(num_samples=8, T=6, riccati_backend="pallas")
+    assert pal.system.ls_rollout_fn is not None
+    with pltpu.force_tpu_interpret_mode():
+        x_p, u_p, _, cv_p = pal._iteration(
+            pal.x_trj, pal.u_trj, pal.key, jnp.asarray(1.0, jnp.float32))
+
+    assert float(cv_p[0]) < float(ref.cost_lst[0]), "no descent"
+    assert abs(float(cv_p[0]) - float(cv_r[0])) < 0.005 * float(cv_r[0])
+    np.testing.assert_allclose(u_p, u_r, atol=0.05)
+    np.testing.assert_allclose(x_p, x_r, atol=0.05)
+
+
+def test_unsupported_models_fall_back():
+    """Models outside the kernel-safe narrow phase must not attach the
+    hook (they keep the XLA scan path)."""
+    from irs_mpc_tpu.models.contact.systems import (make_box_pushing,
+                                                    make_plate_pickup)
+    for mk in (make_box_pushing, make_plate_pickup):
+        m = mk()
+        assert not pr.supports_model(m)
+        assert m.system().ls_rollout_fn is None
+    lcp = dataclasses.replace(make_planar_hand(), contact_model="lcp")
+    assert not pr.supports_model(lcp)
+    assert lcp.system().ls_rollout_fn is None
