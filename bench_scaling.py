@@ -51,6 +51,39 @@ def _time(f, *args, reps=20):
     return (time.perf_counter() - t0) / reps
 
 
+def projected_pod_budget(n, m, T, sweep_s):
+    """Projected multi-host communication budget for the estimation sweep.
+
+    The ONLY cross-device traffic per sweep is the moment psum: per knot a
+    (p, p) Gram and a (p, n) cross-moment in f32 (parallel/sharded.py).  A
+    ring all-reduce moves ~2x the payload per chip, so with the knot axis
+    local the per-chip bytes are 2 * T * (p^2 + p*n) * 4.  Projected at
+    TPU v5e interconnect speeds (ICI ~90 GB/s/chip within a slice, DCN
+    ~12.5 GB/s/host across slices — stated assumptions, not measurements)
+    this gives the collective seconds a pod run must beat for the >= 80%
+    multi-host scaling north star; the environment has one chip, so this
+    arithmetic is the verifiable-in-minutes claim a pod can confirm."""
+    ICI_BPS = 90e9
+    DCN_BPS = 12.5e9
+    p = n + m
+    payload = T * (p * p + p * n) * 4
+    ring = 2 * payload
+    t_ici = ring / ICI_BPS
+    t_dcn = ring / DCN_BPS
+    return {
+        "psum_payload_bytes_per_sweep": int(payload),
+        "ring_bytes_per_chip_per_sweep": int(ring),
+        "projected_collective_s_ici": round(t_ici, 9),
+        "projected_collective_s_dcn": round(t_dcn, 9),
+        "projected_collective_frac_ici": round(t_ici / sweep_s, 6),
+        "projected_collective_frac_dcn": round(t_dcn / sweep_s, 6),
+        "assumed_ici_Bps": ICI_BPS, "assumed_dcn_Bps": DCN_BPS,
+        "note": ("projected multi-host efficiency = 1/(1 + frac): the "
+                 "moment tensors are the only cross-host traffic, so the "
+                 ">=80% north star holds whenever frac <= 0.25"),
+    }
+
+
 def measure_sweep(mesh, system, cfg, T=64, reps=20):
     """Full estimation sweep seconds/iteration on the given mesh."""
     import jax
@@ -254,6 +287,7 @@ def two_proc_main():
         "single_process_same_mesh_s": round(solo_r["sweep_s"], 5),
         "single_process_collective_s": round(solo_r["coll_s"], 6),
         "cross_process_overhead": round(sweep / solo_r["sweep_s"], 3),
+        "projected_pod_budget": projected_pod_budget(2, 1, 16, sweep),
         "caveat": ("2 local CPU processes over gloo on shared cores: the "
                    "collective crosses a REAL process boundary (the path "
                    "virtual meshes cannot test) but its latency is loopback "
@@ -314,7 +348,9 @@ def main():
            "strong": {"global_samples": GLOBAL_SAMPLES,
                       "results": table(strong, weak_mode=False)},
            "weak": {"per_device_samples": PER_DEVICE_SAMPLES,
-                    "results": table(weak, weak_mode=True)}}
+                    "results": table(weak, weak_mode=True)},
+           "projected_pod_budget": projected_pod_budget(
+               n, m, 64, strong[sizes[-1]]["total"])}
     if jax.default_backend() == "cpu":
         out["caveat"] = (
             "virtual CPU devices share physical cores: compute-phase "
