@@ -51,18 +51,54 @@ _HI = jax.lax.Precision.HIGHEST
 # Build-time support check + constant extraction
 # ---------------------------------------------------------------------------
 
+_PAIR_KINDS = (
+    ("capsule", "circle"), ("circle", "capsule"),
+    ("halfspace", "circle"), ("circle", "halfspace"),
+    ("circle", "circle"),
+    ("box", "circle"), ("circle", "box"),
+    ("capsule", "box"), ("box", "capsule"),
+    ("halfspace", "box"), ("box", "halfspace"),
+)
+
+# VMEM / op-count gate: the dense-batched PDIP materializes (B, mr, nq, nq)
+# products; beyond this the kernel stops paying (carrots: mr=500, nq=45
+# stays on the XLA scan).
+_MAX_ROWS = 64
+_MAX_NQ = 16
+
+
 def supports_model(model) -> bool:
     """True if every contact pair lowers to the kernel-safe narrow phase."""
     if model.contact_model != "anitescu" or not model.pairs:
         return False
+    if model.nq > _MAX_NQ or model.n_constraint_rows() > _MAX_ROWS:
+        return False
     for pair in model.pairs:
         ba, bb = model.bodies[pair.body_a], model.bodies[pair.body_b]
         kinds = (_body_kind(ba, pair.shape_a), _body_kind(bb, pair.shape_b))
-        if None in kinds:
+        if None in kinds or kinds not in _PAIR_KINDS:
             return False
-        if kinds not in (("capsule", "circle"), ("circle", "capsule"),
-                         ("halfspace", "circle"), ("circle", "halfspace"),
-                         ("circle", "circle")):
+    return True
+
+
+def chain_gate(model) -> bool:
+    """Quality gate ON TOP of supports_model: attach the kernel only where
+    the warm chain preserves the recorded convergence curves.
+
+    The kernel and the XLA scan run the SAME warm PDIP to the same
+    accuracy, but with different float orderings; on contact-mode-sensitive
+    systems the two equally-valid chains drift apart (~1e-3/knot) and the
+    line search lands in a different basin.  Measured on hardware: planar
+    hand 14.68 (recorded 14.5-14.9) and box_pushing 46.09 (46.1) are
+    preserved; box_pivoting (Kp = 5e4) degrades 228.6 -> 417 (242 even at
+    double warm iterations) and plate_pickup (prismatic-finger grasping)
+    3.31 -> 4.06.  Gate: no very-stiff actuation, no prismatic-finger
+    grasp kinematics — an empirical boundary, re-test before widening."""
+    for mi in model.models:
+        if mi.actuated and max(mi.stiffness) > 1000.0:
+            return False
+    for body in model.bodies:
+        if isinstance(body, geom.PrismaticFinger2D):
             return False
     return True
 
@@ -77,12 +113,16 @@ def _body_kind(body, shape_idx):
         if isinstance(s, geom.Circle):
             return "circle"
         return None
+    if isinstance(body, geom.PrismaticFinger2D):
+        return "capsule" if body.length > 0 else "circle"
     if isinstance(body, geom.FreeBody2D):
         s = body.shapes[shape_idx]
         if isinstance(s, geom.Circle) and tuple(s.center) == (0.0, 0.0):
             # Off-center circles would need the body rotation applied to
             # the center offset; not needed by any bundled model.
             return "circle"
+        if isinstance(s, geom.Box) and tuple(s.center) == (0.0, 0.0):
+            return "box"
         return None
     return None
 
@@ -132,6 +172,15 @@ def _col(x, i):
     return x[:, i:i + 1]
 
 
+def _rot_apply(ct, st, vy, vz):
+    """R(theta) @ v with ct/st scalar columns (or floats)."""
+    return ct * vy - st * vz, st * vy + ct * vz
+
+
+def _rot_apply_T(ct, st, vy, vz):
+    return ct * vy + st * vz, -st * vy + ct * vz
+
+
 class _BodyFrame:
     """Per-step world data + dense Jacobian rows for one body."""
 
@@ -155,6 +204,21 @@ class _BodyFrame:
             self.joints = pts          # [(py, pz)] length L+1
         elif isinstance(body, geom.FreeBody2D):
             self.c = (_col(x, body.idx_pos[0]), _col(x, body.idx_pos[1]))
+            self.th = (_col(x, body.idx_rot) if body.idx_rot is not None
+                       else _col(x, 0) * 0.0)
+        elif isinstance(body, geom.PrismaticFinger2D):
+            self.c = (_col(x, body.idx_base_pos[0]),
+                      _col(x, body.idx_base_pos[1]))
+            self.th = (_col(x, body.idx_base_rot)
+                       if body.idx_base_rot is not None
+                       else _col(x, 0) * 0.0)
+            ct, st = jnp.cos(self.th), jnp.sin(self.th)
+            self.ct, self.st = ct, st
+            slide = _col(x, body.idx_slide)
+            ly = float(body.offset[0]) + slide * float(body.axis[0])
+            lz = float(body.offset[1]) + slide * float(body.axis[1])
+            wy, wz = _rot_apply(ct, st, ly, lz)
+            self.tip = (self.c[0] + wy, self.c[1] + wz)
 
     def _e(self, i):
         return self.eye[i:i + 1, :]           # (1, nq) one-hot
@@ -175,9 +239,22 @@ class _BodyFrame:
             return ("circle", (zero_c + float(s.center[0]),
                                zero_c + float(s.center[1])),
                     float(s.radius))
+        if isinstance(b, geom.PrismaticFinger2D):
+            if b.length > 0:
+                # Capsule hanging straight down in the base frame
+                # (geometry.PrismaticFinger2D.world_shapes).
+                dy, dz = _rot_apply(self.ct, self.st, 0.0,
+                                    -float(b.length))
+                end = (self.tip[0] + dy, self.tip[1] + dz)
+                return ("capsule", self.tip, end, float(b.radius))
+            return ("circle", self.tip, float(b.radius))
         if isinstance(b, geom.FreeBody2D):
             s = b.shapes[shape_idx]
-            return ("circle", (self.c[0], self.c[1]), float(s.radius))
+            if isinstance(s, geom.Circle):
+                return ("circle", (self.c[0], self.c[1]), float(s.radius))
+            if isinstance(s, geom.Box):
+                return ("box", (self.c[0], self.c[1]),
+                        (float(s.half[0]), float(s.half[1])), self.th)
         raise NotImplementedError(type(b))
 
     def point_jacobian_rows(self, p, shape_idx):
@@ -204,6 +281,18 @@ class _BodyFrame:
                 jy, jz = self.joints[j]
                 Jy = Jy + (-(pz - jz)) * self._e(b.joint_idx[j])
                 Jz = Jz + (py - jy) * self._e(b.joint_idx[j])
+            return Jy, Jz
+        if isinstance(b, geom.PrismaticFinger2D):
+            Jy = zero + self._e(b.idx_base_pos[0])
+            Jz = zero + self._e(b.idx_base_pos[1])
+            if b.idx_base_rot is not None:
+                cy, cz = self.c
+                Jy = Jy + (-(pz - cz)) * self._e(b.idx_base_rot)
+                Jz = Jz + (py - cy) * self._e(b.idx_base_rot)
+            ay, az = _rot_apply(self.ct, self.st, float(b.axis[0]),
+                                float(b.axis[1]))
+            Jy = Jy + ay * self._e(b.idx_slide)
+            Jz = Jz + az * self._e(b.idx_slide)
             return Jy, Jz
         raise NotImplementedError(type(b))
 
@@ -237,6 +326,108 @@ def _circle_halfspace(c, r, normal, offset):
     return phi, p, (zero_c + ny, zero_c + nz)
 
 
+def _circle_box(c, r, bc, half, th):
+    """Scalar-column form of geometry.circle_box (outside closest-point /
+    inside nearest-face pushout, where-blended; argmin ties pick axis 0)."""
+    hx, hy = half
+    ct, st = jnp.cos(th), jnp.sin(th)
+    ly, lz = _rot_apply_T(ct, st, c[0] - bc[0], c[1] - bc[1])
+    cly = jnp.clip(ly, -hx, hx)
+    clz = jnp.clip(lz, -hy, hy)
+    dly, dlz = ly - cly, lz - clz
+    dist = jnp.sqrt(dly * dly + dlz * dlz + 1e-12)
+    inside = (jnp.abs(ly) < hx) & (jnp.abs(lz) < hy)
+    n_out_y, n_out_z = dly / dist, dlz / dist
+    fd0 = hx - jnp.abs(ly)
+    fd1 = hy - jnp.abs(lz)
+    axis0 = fd0 <= fd1
+    s0 = jnp.sign(ly) + (ly == 0.0)
+    s1 = jnp.sign(lz) + (lz == 0.0)
+    n_in_y = jnp.where(axis0, s0, 0.0)
+    n_in_z = jnp.where(axis0, 0.0, s1)
+    phi = jnp.where(inside, -jnp.minimum(fd0, fd1) - r, dist - r)
+    n_ly = jnp.where(inside, n_in_y, n_out_y)
+    n_lz = jnp.where(inside, n_in_z, n_out_z)
+    p_ly = jnp.where(inside, jnp.where(axis0, ly + s0 * fd0, ly), cly)
+    p_lz = jnp.where(inside, jnp.where(axis0, lz, lz + s1 * fd1), clz)
+    ny, nz = _rot_apply(ct, st, n_ly, n_lz)
+    wy, wz = _rot_apply(ct, st, p_ly, p_lz)
+    return phi, (bc[0] + wy, bc[1] + wz), (ny, nz)
+
+
+def _box_corners(bc, half, th):
+    """World corners in geometry.box_corners order: (+,+), (-,+), (-,-),
+    (+,-)."""
+    hx, hy = half
+    ct, st = jnp.cos(th), jnp.sin(th)
+    out = []
+    for lx, lz in ((hx, hy), (-hx, hy), (-hx, -hy), (hx, -hy)):
+        wy, wz = _rot_apply(ct, st, lx, lz)
+        out.append((bc[0] + wy, bc[1] + wz))
+    return out
+
+
+def _point_halfspace(p, normal, offset):
+    ny, nz = float(normal[0]), float(normal[1])
+    phi = ny * p[0] + nz * p[1] - offset
+    zero_c = p[0] * 0.0
+    return phi, p, (zero_c + ny, zero_c + nz)
+
+
+def _narrow_phase(sa, sb):
+    """Contacts between two world shapes -> list of (phi, p, n), n pointing
+    A -> B — the scalar-column mirror of geometry.shape_contact (same
+    contact count, order, and sign conventions)."""
+    ka, kb = sa[0], sb[0]
+
+    def neg(n):
+        return (-n[0], -n[1])
+
+    if (ka, kb) == ("circle", "circle"):
+        phi, p, n = _circle_circle(sa[1], sa[2], sb[1], sb[2])
+        return [(phi, p, n)]
+    if (ka, kb) == ("capsule", "circle"):
+        phi, p, n = _capsule_circle(sa[1], sa[2], sa[3], sb[1], sb[2])
+        return [(phi, p, n)]
+    if (ka, kb) == ("circle", "capsule"):
+        phi, p, n = _capsule_circle(sb[1], sb[2], sb[3], sa[1], sa[2])
+        return [(phi, p, neg(n))]
+    if (ka, kb) == ("halfspace", "circle"):
+        phi, p, n = _circle_halfspace(sb[1], sb[2], sa[1], sa[2])
+        return [(phi, p, n)]
+    if (ka, kb) == ("circle", "halfspace"):
+        phi, p, n = _circle_halfspace(sa[1], sa[2], sb[1], sb[2])
+        return [(phi, p, neg(n))]
+    if (ka, kb) == ("box", "circle"):
+        phi, p, n = _circle_box(sb[1], sb[2], sa[1], sa[2], sa[3])
+        return [(phi, p, n)]
+    if (ka, kb) == ("circle", "box"):
+        phi, p, n = _circle_box(sa[1], sa[2], sb[1], sb[2], sb[3])
+        return [(phi, p, neg(n))]
+    if (ka, kb) == ("capsule", "box"):
+        out = []
+        for end in (sa[1], sa[2]):
+            phi, p, n = _circle_box(end, sa[3], sb[1], sb[2], sb[3])
+            out.append((phi, p, neg(n)))
+        return out
+    if (ka, kb) == ("box", "capsule"):
+        out = []
+        for end in (sb[1], sb[2]):
+            phi, p, n = _circle_box(end, sb[3], sa[1], sa[2], sa[3])
+            out.append((phi, p, n))
+        return out
+    if (ka, kb) == ("halfspace", "box"):
+        return [_point_halfspace(corner, sa[1], sa[2])
+                for corner in _box_corners(sb[1], sb[2], sb[3])]
+    if (ka, kb) == ("box", "halfspace"):
+        out = []
+        for corner in _box_corners(sa[1], sa[2], sa[3]):
+            phi, p, n = _point_halfspace(corner, sb[1], sb[2])
+            out.append((phi, p, neg(n)))
+        return out
+    raise NotImplementedError((ka, kb))
+
+
 def _assemble(model, consts, x, u):
     """b (B, nq), C (B, mr, nq), d (B, mr) in the solver's C dq <= d form
     (Anitescu).  Pure jnp on traced values + ``consts`` — safe both inside
@@ -251,37 +442,19 @@ def _assemble(model, consts, x, u):
         fa, fb = frames[pair.body_a], frames[pair.body_b]
         sa = fa.shape_world(pair.shape_a)
         sb = fb.shape_world(pair.shape_b)
-        ka, kb = sa[0], sb[0]
-        flip = False
-        if (ka, kb) == ("capsule", "circle"):
-            phi, p, n = _capsule_circle(sa[1], sa[2], sa[3], sb[1], sb[2])
-        elif (ka, kb) == ("circle", "capsule"):
-            phi, p, n = _capsule_circle(sb[1], sb[2], sb[3], sa[1], sa[2])
-            flip = True
-        elif (ka, kb) == ("halfspace", "circle"):
-            phi, p, n = _circle_halfspace(sb[1], sb[2], sa[1], sa[2])
-        elif (ka, kb) == ("circle", "halfspace"):
-            phi, p, n = _circle_halfspace(sa[1], sa[2], sb[1], sb[2])
-            flip = True
-        elif (ka, kb) == ("circle", "circle"):
-            phi, p, n = _circle_circle(sa[1], sa[2], sb[1], sb[2])
-        else:  # pragma: no cover - guarded by supports_model
-            raise NotImplementedError((ka, kb))
-        ny, nz = n
-        if flip:
-            ny, nz = -ny, -nz
-        Jay, Jaz = fa.point_jacobian_rows(p, pair.shape_a)
-        Jby, Jbz = fb.point_jacobian_rows(p, pair.shape_b)
-        Jrel_y = Jby - Jay
-        Jrel_z = Jbz - Jaz
-        Jn = ny * Jrel_y + nz * Jrel_z
-        # t = perp(n) = (-nz, ny)
-        Jt = (-nz) * Jrel_y + ny * Jrel_z
-        # Anitescu rows in solver form: C = -G, d = phi.
-        C_rows.append(-(Jn + pair.mu * Jt))
-        C_rows.append(-(Jn - pair.mu * Jt))
-        d_cols.append(phi)
-        d_cols.append(phi)
+        for phi, p, (ny, nz) in _narrow_phase(sa, sb):
+            Jay, Jaz = fa.point_jacobian_rows(p, pair.shape_a)
+            Jby, Jbz = fb.point_jacobian_rows(p, pair.shape_b)
+            Jrel_y = Jby - Jay
+            Jrel_z = Jbz - Jaz
+            Jn = ny * Jrel_y + nz * Jrel_z
+            # t = perp(n) = (-nz, ny)
+            Jt = (-nz) * Jrel_y + ny * Jrel_z
+            # Anitescu rows in solver form: C = -G, d = phi.
+            C_rows.append(-(Jn + pair.mu * Jt))
+            C_rows.append(-(Jn - pair.mu * Jt))
+            d_cols.append(phi)
+            d_cols.append(phi)
     C = jnp.stack(C_rows, axis=1)                    # (B, mr, nq)
     d = jnp.concatenate(d_cols, axis=1)              # (B, mr)
     return b, C, d

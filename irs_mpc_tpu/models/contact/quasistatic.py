@@ -307,7 +307,8 @@ class QuasistaticModel:
         ls_rollout_fn = None
         if use_ws:
             from . import pallas_rollout
-            if pallas_rollout.supports_model(self):
+            if (pallas_rollout.supports_model(self)
+                    and pallas_rollout.chain_gate(self)):
                 def ls_rollout_fn(*args):
                     return pallas_rollout.linesearch_rollout_pallas(
                         self, *args)

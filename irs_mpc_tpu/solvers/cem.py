@@ -91,7 +91,16 @@ class CrossEntropyMethod:
         self.T = int(self.u_trj.shape[0])
         self.idx_u = (None if params.indices_u_into_x is None
                       else jnp.asarray(params.indices_u_into_x, jnp.int32))
-        self.std_trj = jnp.tile(f32(params.initial_std), (self.T, 1))
+        init_std = f32(params.initial_std)
+        # (m,) broadcasts over the horizon; a full (T, m) std is accepted
+        # so a driver can CONTINUE a search (e.g. the annealed noise_knots
+        # phases of examples/quadrotor_cem_anneal.py) from a refit std.
+        self.std_trj = (init_std if init_std.ndim == 2
+                        else jnp.tile(init_std, (self.T, 1)))
+        if self.std_trj.shape != (self.T, self.system.dim_u):
+            raise ValueError(
+                f"initial_std shape {init_std.shape} incompatible with "
+                f"(T, m) = {(self.T, self.system.dim_u)}")
         self.key = jax.random.PRNGKey(params.seed)
         if not 0 <= params.momentum < 1:
             raise ValueError(f"momentum must be in [0, 1): {params.momentum}")

@@ -87,3 +87,40 @@ def test_box_pivoting_cem_descends():
     c0 = cem.cost
     cem.iterate(3, verbose=False)
     assert cem.cost_best < c0
+
+
+def test_opaque_quadrotor_zero_order_descends():
+    """The 'external simulator' usage pattern (reference
+    quadrotor_dynamics_drake.py): a gradient-walled RK4 sub-stepped plant
+    where only zero-order smoothing applies."""
+    import dataclasses
+    from quadrotor import build_params
+    from quadrotor_opaque import make_opaque_quadrotor
+    from irs_mpc_tpu import IrsMpc, SmoothingConfig
+
+    sys_op = make_opaque_quadrotor()
+    J = sys_op.jacobian_xu(np.zeros(12, np.float32) + 0.1,
+                           np.ones(4, np.float32) * 2.0)
+    assert float(abs(J).max()) == 0.0, "gradient wall must hold"
+    p = dataclasses.replace(
+        build_params("zero_order", T=40),
+        smoothing=SmoothingConfig(num_samples=200, std_x=0.1, std_u=0.1))
+    s = IrsMpc(sys_op, p)
+    c0 = s.cost
+    s.iterate(3, verbose=False)
+    assert s.cost_best < c0
+
+
+def test_quadrotor_cem_anneal_phases_build():
+    """The coarse-to-fine noise_knots phases chain through the (T, m)
+    initial_std continuation path."""
+    from quadrotor_cem_anneal import build
+    c1 = build(T=40, batch_size=60, n_elite=10, noise_knots=8)
+    c1.iterate(2, verbose=False)
+    std = np.maximum(np.asarray(c1.std_trj, np.float32), 0.005)
+    c2 = build(T=40, batch_size=60, n_elite=10, noise_knots=0,
+               u_trj_init=np.asarray(c2u := c1.u_trj_best, np.float32),
+               initial_std=std, seed=1)
+    c2.iterate(2, verbose=False)
+    assert np.isfinite(c2.cost_lst).all()
+    assert c2.std_trj.shape == (40, 4)

@@ -39,22 +39,93 @@ def _states(model, B=8, scale=0.05, seed=0):
     return x, u
 
 
-def test_kernel_assembly_matches_geometry():
+def _perturbed_states(model, q0, B=8, scale=0.05, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(np.tile(q0, (B, 1)) + rng.randn(B, model.nq) * scale,
+                    jnp.float32)
+    u = jnp.asarray(
+        np.tile(q0[model.indices_u_into_x()], (B, 1))
+        + rng.randn(B, model.dim_u) * scale, jnp.float32)
+    return x, u
+
+
+def _nominal_q0(name, model):
+    import importlib
+    if name == "planar_hand":
+        return model.get_x_from_q_dict(
+            {"sphere": np.array([0.0, 0.35, 0.0]),
+             "arm_left": np.array([-np.pi / 4, -np.pi / 4]),
+             "arm_right": np.array([np.pi / 4, np.pi / 4])})
+    if name == "plate_pickup":
+        return model.get_x_from_q_dict(
+            {"plate": np.array([0.0, 0.04, 0.0]),
+             "gripper": np.array([0.0, 0.30, 0.0, -0.16, -0.16])})
+    if name == "box_pushing":
+        return np.array([0., 0.5, 0., 0., -0.12], np.float32)
+    return np.array([0.45, 0.5, 0., -0.15, 0.5], np.float32)  # pivoting
+
+
+import pytest  # noqa: E402
+from irs_mpc_tpu.models.contact import systems as contact_systems
+
+
+@pytest.mark.parametrize("name", ["planar_hand", "box_pushing",
+                                  "box_pivoting", "plate_pickup"])
+def test_kernel_assembly_matches_geometry(name):
     """The scatter-free one-hot assembly must reproduce _constraint_rows /
-    _hessian_and_bias on contact-rich states."""
-    model = make_planar_hand(h=0.1)
+    _hessian_and_bias on contact-rich states — all supported narrow phases:
+    arm capsules, free circles/boxes, prismatic fingers, halfspaces."""
+    model = getattr(contact_systems, f"make_{name}")()
     assert pr.supports_model(model)
+    q0 = _nominal_q0(name, model)
     for seed in (0, 1):
-        x, u = _states(model, scale=0.08, seed=seed)
+        x, u = _perturbed_states(model, q0, scale=0.06, seed=seed)
         b, C, d = jax.jit(lambda x, u: pr.assemble_xla(model, x, u))(x, u)
         Cr, dr = jax.vmap(model._constraint_rows)(x)
         Pr, br = jax.vmap(model._hessian_and_bias)(x, u)
         np.testing.assert_allclose(C, Cr, atol=1e-5)
         np.testing.assert_allclose(d, dr, atol=1e-5)
-        np.testing.assert_allclose(b, br, atol=1e-4)
+        # Bias magnitudes scale with Kp (5e4 for pivoting): relative check.
+        scale_b = float(jnp.max(jnp.abs(br))) + 1.0
+        np.testing.assert_allclose(b / scale_b, br / scale_b, atol=1e-5)
         p_diag = pr._hessian_constants(model)[0]
         np.testing.assert_allclose(jax.vmap(jnp.diag)(Pr)[0], p_diag,
                                    atol=1e-6)
+
+
+def test_open_loop_chain_matches_step_ws():
+    """The kernel's warm chain (zero gains => pure open loop) vs the XLA
+    step_ws scan on the stiff prismatic-finger system."""
+    from irs_mpc_tpu.models.contact.systems import make_plate_pickup
+    m = make_plate_pickup()
+    T, nq, mu = 8, m.nq, m.dim_u
+    q0 = _nominal_q0("plate_pickup", m)
+    rng = np.random.RandomState(0)
+    u_seq = jnp.asarray(
+        np.tile(q0[m.indices_u_into_x()], (T, 1))
+        + np.cumsum(rng.randn(T, mu) * 0.01, axis=0), jnp.float32)
+
+    sys_ = m.system()
+
+    def f(carry, u):
+        x, ws = carry
+        xn, ws = sys_.step_ws_fn(x, u, ws)
+        return (xn, ws), xn
+
+    (_, _), xs_ref = jax.lax.scan(
+        f, (jnp.asarray(q0, jnp.float32), sys_.ws_init_fn()), u_seq)
+
+    A = 2
+    K = jnp.zeros((T, mu, nq + mu))
+    with pltpu.force_tpu_interpret_mode():
+        xs_k, us_k = pr.linesearch_rollout_pallas(
+            m, jnp.asarray(q0, jnp.float32),
+            q0[m.indices_u_into_x()].astype(np.float32), K,
+            jnp.zeros((A, T, nq)), jnp.zeros((A, T, mu)),
+            jnp.broadcast_to(u_seq[None], (A, T, mu)),
+            jnp.full((T, mu), -1e9), jnp.full((T, mu), 1e9), None, None)
+    np.testing.assert_allclose(us_k[0], u_seq, atol=1e-6)
+    np.testing.assert_allclose(xs_k[0, 1:], xs_ref, atol=5e-3)
 
 
 def test_dense_warm_pdip_matches_reference():
@@ -99,14 +170,27 @@ def test_kernel_rollout_iteration_matches_scan_backend():
 
 
 def test_unsupported_models_fall_back():
-    """Models outside the kernel-safe narrow phase must not attach the
-    hook (they keep the XLA scan path)."""
-    from irs_mpc_tpu.models.contact.systems import (make_box_pushing,
+    """Models outside the kernel scope must not attach the hook (they keep
+    the XLA scan path): the LCP contact model; carrots (500 contact rows x
+    45 dofs — past the dense-batched kernel's VMEM/op-count gate); and the
+    two systems the chain quality gate excludes (box_pivoting's Kp = 5e4,
+    plate_pickup's prismatic fingers — kernel-CAPABLE but the float-order
+    chain drift degrades their recorded curves, see pr.chain_gate)."""
+    from irs_mpc_tpu.models.contact.systems import (make_box_pivoting,
+                                                    make_box_pushing,
+                                                    make_carrots,
                                                     make_plate_pickup)
-    for mk in (make_box_pushing, make_plate_pickup):
-        m = mk()
-        assert not pr.supports_model(m)
-        assert m.system().ls_rollout_fn is None
+    car = make_carrots()
+    assert not pr.supports_model(car)
+    assert car.system().ls_rollout_fn is None
     lcp = dataclasses.replace(make_planar_hand(), contact_model="lcp")
     assert not pr.supports_model(lcp)
     assert lcp.system().ls_rollout_fn is None
+    for mk in (make_box_pivoting, make_plate_pickup):
+        m = mk()
+        assert pr.supports_model(m) and not pr.chain_gate(m)
+        assert m.system().ls_rollout_fn is None
+    for mk in (make_planar_hand, make_box_pushing):
+        m = mk()
+        assert pr.chain_gate(m)
+        assert m.system().ls_rollout_fn is not None
