@@ -67,7 +67,10 @@ def main():
         # noise_knots stalls at 17.5k (the helix needs fine corrections);
         # doubling the population AND the budget (16000/1200) plateaus
         # near 8.2k (iRS reaches 3.3k — the remaining gap is the
-        # expected CEM-vs-gradient cost at this dimensionality).
+        # expected CEM-vs-gradient cost at this dimensionality; the
+        # coarse-to-fine anneal probe, quadrotor_cem_anneal.py, lands at
+        # 9.25k at equal budget, pinning the plateau as schedule-
+        # independent).
         n_elite=160, batch_size=16000, initial_std=np.ones(4) * 0.02,
         noise_beta=0.5, momentum=0.1, elite_keep=20,
         u_bounds_abs=np.array([np.zeros(4), 4.0 * np.ones(4)])))

@@ -18,6 +18,16 @@ Equal total budget to the recorded vanilla run (16000 x 1200).
 Artifact: analysis/quadrotor_cem_anneal.csv (concatenated cost curve) and
 a printed per-phase summary consumed by PARITY.md — either the anneal
 breaks the ~8k plateau or it pins the plateau as schedule-independent.
+
+OUTCOME (recorded run, TPU): phase bests 22967 -> 11024 -> 9250.  The
+coarse phase plateaus far above vanilla (the helix cannot even be tracked
+at 20-knot resolution) and the fine phases recover only to 9.25k — WORSE
+than vanilla's 8.2k at equal total budget.  Together with the static
+noise_knots stall (17.5k) this pins the ~8k plateau as schedule-
+independent: every tested exploration structure (white, AR(1), band-
+limited, annealed) lands at 8-17k while gradient-based iRS reaches 3.3k.
+The residual is the CEM-vs-gradient gap at 800 dimensions, not a tuning
+artifact.
 """
 import sys
 from pathlib import Path

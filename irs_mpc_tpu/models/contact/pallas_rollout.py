@@ -85,9 +85,14 @@ def chain_gate(model) -> bool:
     """Quality gate ON TOP of supports_model: attach the kernel only where
     the warm chain preserves the recorded convergence curves.
 
-    The kernel and the XLA scan run the SAME warm PDIP to the same
-    accuracy, but with different float orderings; on contact-mode-sensitive
-    systems the two equally-valid chains drift apart (~1e-3/knot) and the
+    The kernel and the XLA scan run the SAME warm PDIP to the same primal
+    accuracy, but the Anitescu DUALS are non-unique: the two cone rows of
+    a non-sliding contact are degenerate, so the dual split between them
+    is a free direction along which float-order dust grows to O(1)
+    relative within one solve (measured: identical inputs + identical
+    warm starts give dq agreeing to 7e-5 while lam differs 87%).  The
+    warm-start carry feeds that split forward; on contact-mode-sensitive
+    systems the two equally-valid chains then drift ~1e-3/knot and the
     line search lands in a different basin.  Measured on hardware: planar
     hand 14.68 (recorded 14.5-14.9) and box_pushing 46.09 (46.1) are
     preserved; box_pivoting (Kp = 5e4) degrades 228.6 -> 417 (242 even at
