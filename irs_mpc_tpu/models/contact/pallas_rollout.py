@@ -644,7 +644,7 @@ def linesearch_rollout_pallas(model, x0, u_prev0, K, z_ref_x, z_ref_w,
 
     big = 1e9
 
-    def bound_rows(bv, fill):
+    def bound_rows(bv):
         bv = jnp.nan_to_num(jnp.asarray(bv, f32), posinf=big, neginf=-big)
         return jnp.broadcast_to(bv[:, None, :], (T, _B, m))
 
@@ -655,10 +655,10 @@ def linesearch_rollout_pallas(model, x0, u_prev0, K, z_ref_x, z_ref_w,
         (pad_lanes(z_ref_w.astype(f32)) if aug
          else jnp.zeros((T, _B, m), f32)),
         pad_lanes(u_ref.astype(f32)),
-        bound_rows(lb, -big), bound_rows(ub, big),
-        (bound_rows(rel_lb, -big) if has_rel
+        bound_rows(lb), bound_rows(ub),
+        (bound_rows(rel_lb) if has_rel
          else jnp.zeros((T, _B, m), f32)),
-        (bound_rows(rel_ub, big) if has_rel
+        (bound_rows(rel_ub) if has_rel
          else jnp.zeros((T, _B, m), f32)),
         jnp.broadcast_to(x0.astype(f32), (_B, nq)),
         jnp.broadcast_to(u_prev0.astype(f32), (_B, m)),

@@ -189,6 +189,14 @@ def solve_boxed_tvlqr(prob: lqr_ops.LqrProblem,
     T, n, m = prob.B.shape
     f32 = prob.A.dtype
 
+    # Degenerate all-None bounds: the QP is the unconstrained TV-LQR.
+    if all(b is None for b in bounds):
+        x_trj, u_trj, gains = lqr_ops.lqr_solve(prob, parallel=parallel,
+                                                backend=backend)
+        zero = jnp.zeros((), f32)
+        return AdmmSolution(x_trj=x_trj, u_trj=u_trj, gains=gains,
+                            r_primal=zero, r_dual=zero)
+
     def clip_or(s, b, default):
         return s if b is None else jnp.clip(s, b[0], b[1])
 

@@ -267,12 +267,12 @@ def solve_boxed_tvlqr_pallas(
     has_du = bounds.du is not None
     idx_w = jnp.arange(n_phys, n) if (has_du or n > n_phys) else None
 
-    # Sweep-invariant quadratic penalties (host side, once); the linear
-    # terms are recomputed per sweep in-kernel, so reset them to the base.
+    # Sweep-invariant quadratic penalties (host side, once).  Only
+    # pen.Q/R/N/Qf are consumed — the kernel recomputes the penalized
+    # LINEAR terms per sweep from the base prob.q/r/qf passed below.
     zeros = jax.tree.map(jnp.zeros_like, z0)
     pen = admm_ops._penalized_problem(prob, bounds, zeros, zeros, rho,
                                       n_phys, idx_w)
-    pen = pen._replace(q=prob.q, r=prob.r, qf=prob.qf)
 
     col = lambda v: v[..., None]
     inputs = [

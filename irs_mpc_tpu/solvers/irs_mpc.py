@@ -572,7 +572,11 @@ class IrsMpc:
             return x_new, us, jnp.stack(channels)
 
         alphas = jnp.asarray(p.line_search_alphas, jnp.float32)
-        if sys.ls_rollout_fn is not None and self._riccati_backend == "pallas":
+        # The whole-chain kernel carries the alphas on the sublane axis
+        # (8 lanes); wider line searches keep the vmapped scan.
+        if (sys.ls_rollout_fn is not None
+                and self._riccati_backend == "pallas"
+                and len(p.line_search_alphas) <= 8):
             # Whole-chain Pallas rollout: every line-search lane, every
             # knot, geometry + warm contact QP, in one VMEM kernel
             # (models/contact/pallas_rollout.py).  Semantically identical

@@ -343,3 +343,24 @@ def test_factored_admm_matches_generic_path():
         eu = float(jnp.max(jnp.abs(fast.u_trj - slow.u_trj)))
         assert eu < 2e-3, (seed, eu)
         assert float(fast.r_primal) < 1e-3
+
+
+def test_all_none_bounds_degenerates_to_lqr():
+    """BoxBounds() with every kind disabled must solve the unconstrained
+    TV-LQR (previously the residual stack over zero enabled kinds raised)."""
+    import numpy as np
+    from irs_mpc_tpu.ops import admm as admm_ops
+    from irs_mpc_tpu.ops import lqr as lqr_ops
+
+    rng = np.random.RandomState(2)
+    T, n, m = 5, 3, 2
+    A = jnp.asarray(rng.randn(T, n, n) * 0.2 + np.eye(n), jnp.float32)
+    B = jnp.asarray(rng.randn(T, n, m) * 0.5, jnp.float32)
+    c = jnp.asarray(rng.randn(T, n) * 0.1, jnp.float32)
+    prob = lqr_ops.build_tracking_problem(
+        A, B, c, jnp.eye(n), jnp.eye(n) * 3, jnp.eye(m),
+        jnp.asarray(rng.randn(n), jnp.float32), jnp.zeros((T + 1, n)))
+    sol = admm_ops.solve_boxed_tvlqr(prob, admm_ops.BoxBounds(), n_phys=n)
+    x_ref, u_ref, _ = lqr_ops.lqr_solve(prob)
+    np.testing.assert_allclose(sol.u_trj, u_ref, atol=1e-5)
+    assert float(sol.r_primal) == 0.0

@@ -26,17 +26,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
 
 
 def _states(model, B=8, scale=0.05, seed=0):
-    rng = np.random.RandomState(seed)
-    q0 = model.get_x_from_q_dict(
-        {"sphere": np.array([0.0, 0.35, 0.0]),
-         "arm_left": np.array([-np.pi / 4, -np.pi / 4]),
-         "arm_right": np.array([np.pi / 4, np.pi / 4])})
-    x = jnp.asarray(np.tile(q0, (B, 1)) + rng.randn(B, model.nq) * scale,
-                    jnp.float32)
-    u = jnp.asarray(
-        np.tile(q0[model.indices_u_into_x()], (B, 1))
-        + rng.randn(B, model.dim_u) * scale, jnp.float32)
-    return x, u
+    return _perturbed_states(model, _nominal_q0("planar_hand", model),
+                             B=B, scale=scale, seed=seed)
 
 
 def _perturbed_states(model, q0, B=8, scale=0.05, seed=0):
@@ -194,3 +185,16 @@ def test_unsupported_models_fall_back():
         m = mk()
         assert pr.chain_gate(m)
         assert m.system().ls_rollout_fn is not None
+
+
+def test_wide_line_search_falls_back_to_scan():
+    """More than 8 line-search alphas exceed the kernel's sublane batch;
+    the solver must fall back to the vmapped scan, not crash at trace."""
+    from planar_hand import build_solver
+    alphas = (1.0, 0.8, 0.6, 0.4, 0.3, 0.2, 0.1, 0.03, 0.0)   # 9 > 8
+    s, _ = build_solver(num_samples=8, T=4, riccati_backend="pallas",
+                        line_search_alphas=alphas)
+    with pltpu.force_tpu_interpret_mode():
+        x, u, _, cv = s._iteration(s.x_trj, s.u_trj, s.key,
+                                   jnp.asarray(1.0, jnp.float32))
+    assert np.isfinite(float(cv[0]))
