@@ -511,15 +511,7 @@ def _pdip_warm_dense(consts, b, C, d, dq0, lam0, iters, sigma=0.25):
     """Warm-started PDIP on B independent QPs with diagonal P — the dense-
     batched form of qp._pdip_solve's init branch (same delta shift, floors,
     caps, fraction-to-boundary, last-finite tracking)."""
-    B, nq = b.shape
-    mr = d.shape[1]
     delta = 1e-2
-    mu_floor = 3e-7
-    w_cap = 1e10
-    eye = consts["eye"]
-    Pd = consts["pdiag"]                                  # (1, nq)
-    Pdmat = (eye * (Pd + 1e-8))[None]                     # (1, nq, nq)
-
     ok0 = jnp.all(jnp.isfinite(dq0), axis=1, keepdims=True)
     x = jnp.where(ok0, dq0, 0.0)
     Cx = jnp.sum(C * x[:, None, :], axis=2)
@@ -528,9 +520,24 @@ def _pdip_warm_dense(consts, b, C, d, dq0, lam0, iters, sigma=0.25):
     s = slack + shift
     lam = jnp.where(jnp.isfinite(lam0), lam0, 1.0)
     lam = jnp.clip(lam, delta, 1e6)
+    return _pdip_loop_dense(consts, b, C, d, x, s, lam, iters, sigma)
+
+
+def _pdip_loop_dense(consts, b, C, d, x, s, lam, iters, sigma):
+    B, nq = b.shape
+    mr = d.shape[1]
+    mu_floor = 3e-7
+    w_cap = 1e10
+    eye = consts["eye"]
+    Pd = consts["pdiag"]                                  # (1, nq)
+    Pdmat = (eye * (Pd + 1e-8))[None]                     # (1, nq, nq)
 
     x_keep = x
-    for _ in range(iters):
+    # Python unroll (not fori_loop): at the rollout kernel's B=8 lanes the
+    # ~10-iteration unrolled body compiles fine and runs ~0.4 ms/iteration
+    # faster than the in-kernel loop (measured 3.73 vs 4.24 ms full
+    # contact iterations).
+    for _ in range(int(iters)):
         mu = jnp.maximum(jnp.sum(s * lam, axis=1, keepdims=True) / mr,
                          mu_floor)
         Cx = jnp.sum(C * x[:, None, :], axis=2)           # (B, mr)
@@ -539,8 +546,13 @@ def _pdip_warm_dense(consts, b, C, d, dq0, lam0, iters, sigma=0.25):
         r_c = lam * s - sigma * mu
         s_safe = jnp.maximum(s, 1e-7)
         w = jnp.minimum(lam / s_safe, w_cap)              # (B, mr)
-        Cw = C * w[:, :, None]
-        H = Pdmat + jnp.sum(C[:, :, :, None] * Cw[:, :, None, :], axis=1)
+        # H = P + sum_k w_k C_k C_k' as a static per-row accumulation of
+        # 3D outers — the one-shot 4D (B, mr, nq, nq) product stalls
+        # Mosaic at estimation-sweep batch sizes.
+        H = jnp.broadcast_to(Pdmat, (B, nq, nq))
+        for k in range(mr):
+            Ck = C[:, k, :]
+            H = H + (w[:, k:k + 1] * Ck)[:, :, None] * Ck[:, None, :]
         t_k = w * r_p - r_c / s_safe
         rhs = -(r_d + jnp.sum(C * t_k[:, :, None], axis=1))
         dx = _gauss_batched(H, rhs, eye)

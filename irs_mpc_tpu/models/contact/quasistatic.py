@@ -296,6 +296,13 @@ class QuasistaticModel:
             import jax as _jax
             from .pallas_qp import solve_qp_batched
 
+            # NOTE (r4 negative result): fusing the assembly INTO a dense-
+            # layout Pallas kernel (pallas_rollout-style (B, k) tiles) does
+            # not fit — every (B, 1) scalar column lane-pads 128x, so the
+            # estimation batch blows the 16 MB VMEM budget (measured 21-24
+            # MB at block 256-1024).  A fused path needs the lane-batched
+            # scalar-tile layout of pallas_qp with a sparse in-kernel
+            # assembly; until then the assembly stays in XLA.
             def step_batch_fn(x, u):
                 P, b = _jax.vmap(self._hessian_and_bias)(x, u)
                 C, d = _jax.vmap(self._constraint_rows)(x)
