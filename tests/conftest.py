@@ -20,3 +20,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the associative-scan Riccati tests FIRST.
+
+    XLA's CPU backend intermittently segfaults while compiling the
+    associative_scan interleave/pad ops late in a long test process
+    (observed repeatedly at the same test after ~97 prior tests'
+    executables accumulated; the same compile always succeeds in
+    isolation and passed in full runs where it happened to come early —
+    a state-dependent LLVM JIT crash, not a library bug).  Hoisting
+    these compiles to process start matches the condition under which
+    they are reliable."""
+    front = [it for it in items if "test_lqr" in it.nodeid]
+    rest = [it for it in items if "test_lqr" not in it.nodeid]
+    items[:] = front + rest
