@@ -17,6 +17,7 @@ os.environ["XLA_FLAGS"] = (
 )
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
@@ -25,14 +26,24 @@ jax.config.update("jax_enable_x64", False)
 def pytest_collection_modifyitems(config, items):
     """Run the associative-scan Riccati tests FIRST.
 
-    XLA's CPU backend intermittently segfaults while compiling the
-    associative_scan interleave/pad ops late in a long test process
-    (observed repeatedly at the same test after ~97 prior tests'
-    executables accumulated; the same compile always succeeds in
-    isolation and passed in full runs where it happened to come early —
-    a state-dependent LLVM JIT crash, not a library bug).  Hoisting
-    these compiles to process start matches the condition under which
-    they are reliable."""
+    XLA's CPU backend intermittently segfaults while compiling a program
+    late in a long test process — reproducibly at the ~98th test
+    REGARDLESS of which test that is (moved with reordering; every
+    crashing compile succeeds in isolation).  Two mitigations: hoist the
+    most crash-prone compiles (associative scan) to process start, and
+    periodically drop the jit executable caches (fixture below) so the
+    CPU JIT's cumulative state never reaches the crash regime."""
     front = [it for it in items if "test_lqr" in it.nodeid]
     rest = [it for it in items if "test_lqr" not in it.nodeid]
     items[:] = front + rest
+
+
+_TEST_COUNT = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jit_cache_clear():
+    yield
+    _TEST_COUNT["n"] += 1
+    if _TEST_COUNT["n"] % 20 == 0:
+        jax.clear_caches()
