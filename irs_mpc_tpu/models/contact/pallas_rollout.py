@@ -574,7 +574,11 @@ def _pdip_loop_dense(consts, b, C, d, x, s, lam, iters, sigma):
         x_keep = jnp.where(ok, x_new, x_keep)
         x = x_new
 
-    lam = jnp.where(jnp.isfinite(lam), lam, 1.0)
+    # Sanitize non-finite duals to 0.0 — the same value qp._pdip_solve
+    # carries forward on rescued solves, so the next knot's warm-start clip
+    # floors both chains to the identical delta (= 1e-2) and kernel/scan
+    # rollouts stay in lockstep through transiently non-finite solves.
+    lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
     return x_keep, lam
 
 
@@ -656,8 +660,16 @@ def linesearch_rollout_pallas(model, x0, u_prev0, K, z_ref_x, z_ref_w,
 
     big = 1e9
 
-    def bound_rows(bv):
-        bv = jnp.nan_to_num(jnp.asarray(bv, f32), posinf=big, neginf=-big)
+    def bound_rows(bv, side):
+        """Finite-ize a bound row.  inf -> +-big; a NaN bound (user error)
+        becomes the side's no-op value (+-big) — i.e. "unconstrained" —
+        rather than nan_to_num's silent active 0.0 clip.  (The XLA scan
+        path instead propagates the NaN into the lane's cost, which the
+        totals-isnan guard rejects; either way no trajectory is silently
+        clamped to 0.)"""
+        bv = jnp.asarray(bv, f32)
+        bv = jnp.where(jnp.isnan(bv), side * big, bv)
+        bv = jnp.clip(bv, -big, big)
         return jnp.broadcast_to(bv[:, None, :], (T, _B, m))
 
     consts = make_consts(model)
@@ -667,10 +679,10 @@ def linesearch_rollout_pallas(model, x0, u_prev0, K, z_ref_x, z_ref_w,
         (pad_lanes(z_ref_w.astype(f32)) if aug
          else jnp.zeros((T, _B, m), f32)),
         pad_lanes(u_ref.astype(f32)),
-        bound_rows(lb), bound_rows(ub),
-        (bound_rows(rel_lb) if has_rel
+        bound_rows(lb, -1.0), bound_rows(ub, +1.0),
+        (bound_rows(rel_lb, -1.0) if has_rel
          else jnp.zeros((T, _B, m), f32)),
-        (bound_rows(rel_ub) if has_rel
+        (bound_rows(rel_ub, +1.0) if has_rel
          else jnp.zeros((T, _B, m), f32)),
         jnp.broadcast_to(x0.astype(f32), (_B, nq)),
         jnp.broadcast_to(u_prev0.astype(f32), (_B, m)),

@@ -46,6 +46,12 @@ class BoxBounds(NamedTuple):
 class AdmmSolution(NamedTuple):
     x_trj: Array          # (T+1, n) — augmented state if Δu mode
     u_trj: Array          # (T, m)
+    # Feedback gains of the FINAL ADMM sweep.  Contract: only K/k are
+    # guaranteed; on the Pallas whole-loop backend the value-function
+    # fields gains.P/gains.p are returned ZEROED (the kernel never
+    # materializes them — downstream consumers use K/k only).  Read P/p
+    # from a "scan"/"assoc" backend solve if you need the Riccati value
+    # function.
     gains: lqr_ops.LqrGains
     r_primal: Array       # final primal residual (inf-norm)
     r_dual: Array         # final dual residual  (inf-norm)

@@ -573,10 +573,14 @@ class IrsMpc:
 
         alphas = jnp.asarray(p.line_search_alphas, jnp.float32)
         # The whole-chain kernel carries the alphas on the sublane axis
-        # (8 lanes); wider line searches keep the vmapped scan.
-        if (sys.ls_rollout_fn is not None
-                and self._riccati_backend == "pallas"
-                and len(p.line_search_alphas) <= 8):
+        # (pallas_rollout._B lanes); wider line searches keep the vmapped
+        # scan.  Gate on the kernel's own constant so the two can't desync.
+        if sys.ls_rollout_fn is not None and self._riccati_backend == "pallas":
+            from ..models.contact import pallas_rollout as _plr
+            _lanes_ok = len(p.line_search_alphas) <= _plr._B
+        else:
+            _lanes_ok = False
+        if _lanes_ok:
             # Whole-chain Pallas rollout: every line-search lane, every
             # knot, geometry + warm contact QP, in one VMEM kernel
             # (models/contact/pallas_rollout.py).  Semantically identical

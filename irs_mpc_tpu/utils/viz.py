@@ -107,9 +107,10 @@ def plot_phase_trajectories(x_trj_lst, path, dims=(0, 1),
     """Phase-space convergence plot across iterations (the reference's
     colormap-fade plot, pendulum_zero_order.py:53-65)."""
     plt = _mpl()
-    from matplotlib import cm
+    import matplotlib
     fig, ax = plt.subplots(figsize=(5, 5))
-    colormap = cm.get_cmap("jet")
+    # matplotlib.colormaps replaces cm.get_cmap (removed in mpl >= 3.9).
+    colormap = matplotlib.colormaps["jet"]
     n = len(x_trj_lst)
     for i, x_trj in enumerate(x_trj_lst):
         col = colormap(i / max(n - 1, 1))

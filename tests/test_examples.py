@@ -119,7 +119,7 @@ def test_quadrotor_cem_anneal_phases_build():
     c1.iterate(2, verbose=False)
     std = np.maximum(np.asarray(c1.std_trj, np.float32), 0.005)
     c2 = build(T=40, batch_size=60, n_elite=10, noise_knots=0,
-               u_trj_init=np.asarray(c2u := c1.u_trj_best, np.float32),
+               u_trj_init=np.asarray(c1.u_trj_best, np.float32),
                initial_std=std, seed=1)
     c2.iterate(2, verbose=False)
     assert np.isfinite(c2.cost_lst).all()
