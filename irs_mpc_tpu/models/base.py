@@ -58,6 +58,17 @@ class System:
     step_ws_fn: Optional[Callable[[Array, Array, object],
                                   tuple[Array, object]]] = None
     ws_init_fn: Optional[Callable[[], object]] = None
+    # Optional fused Monte-Carlo estimation sweep for solver-backed systems
+    # (ops/estimators.py uses it for the zero-order modes):
+    #   est_sweep_fn(x_nom (T,n), u_nom (T,m), dx (T,S,n)|None, du (T,S,m))
+    #     -> (f_nom (T,n), fd (T,S,n))
+    # computing the nominal steps at FULL solver accuracy plus the perturbed
+    # sample steps in one batched pass.  ``dx=None`` declares that samples
+    # share the nominal state (zero_order_B), letting a contact system
+    # assemble constraints once per knot instead of once per sample.
+    # f_nom must be at least as accurate as vmap(step) so callers may reuse
+    # it for the affine drift c and decouple_AB's re-derivation.
+    est_sweep_fn: Optional[Callable] = None
     # Optional whole-chain line-searched feedback rollout (a Pallas kernel
     # running every line-search lane x every knot x geometry + warm QP in
     # one VMEM program, models/contact/pallas_rollout.py).  Signature:

@@ -30,9 +30,23 @@ _SUB = 8
 _BLOCK = _LANE * _SUB        # QPs per kernel instance
 
 
-def _kernel(n: int, m: int, iters: int, sigma: float,
-            P_ref, q_ref, C_ref, d_ref, x_out_ref):
-    """One block of 1024 QPs; every list entry is an (8, 128) tile."""
+def _kernel(n: int, m: int, iters: int, sigma: float, warm: bool,
+            want_lam: bool, *refs):
+    """One block of 1024 QPs; every list entry is an (8, 128) tile.
+
+    Ref layout: (P, q, C, d[, x0, lam0]) inputs, then (x_out[, lam_out]).
+    ``warm`` starts the PDIP from a caller-supplied (x0, lam0) — the
+    dense-lane mirror of ``qp._pdip_solve(init=...)`` (same delta shift,
+    floor, cap); ``want_lam`` additionally writes the final duals (for
+    warm-starting downstream solves from this one).
+    """
+    P_ref, q_ref, C_ref, d_ref = refs[:4]
+    idx = 4
+    if warm:
+        x0_ref, lam0_ref = refs[idx:idx + 2]
+        idx += 2
+    x_out_ref = refs[idx]
+    lam_out_ref = refs[idx + 1] if want_lam else None
     # Block shapes carry a singleton grid axis: P_ref is (n, n, 1, 8, 128).
     P = [[P_ref[i, j, 0] for j in range(n)] for i in range(n)]
     qv = [q_ref[i, 0] for i in range(n)]
@@ -54,10 +68,19 @@ def _kernel(n: int, m: int, iters: int, sigma: float,
             M[kk] = rowk
         return [M[i][s] for i in range(s)]
 
-    # --- initialization (mirrors qp._pdip_solve) -------------------------
-    Preg = [[P[i][j] + (1e-8 if i == j else 0.0) for j in range(n)]
-            for i in range(n)]
-    x = gauss(Preg, [-qv[i] for i in range(n)])
+    # --- initialization (mirrors qp._pdip_solve, incl. the init branch) --
+    if warm:
+        x = [x0_ref[i, 0] for i in range(n)]
+        ok = jnp.isfinite(x[0])
+        for i in range(1, n):
+            ok = ok & jnp.isfinite(x[i])
+        x = [jnp.where(ok, x[i], 0.0) for i in range(n)]
+        delta = 1e-2
+    else:
+        Preg = [[P[i][j] + (1e-8 if i == j else 0.0) for j in range(n)]
+                for i in range(n)]
+        x = gauss(Preg, [-qv[i] for i in range(n)])
+        delta = 1.0
     slack = []
     for k in range(m):
         acc = d[k]
@@ -67,9 +90,14 @@ def _kernel(n: int, m: int, iters: int, sigma: float,
     min_slack = slack[0]
     for k in range(1, m):
         min_slack = jnp.minimum(min_slack, slack[k])
-    shift = jnp.maximum(0.0, -min_slack) + 1.0
+    shift = jnp.maximum(0.0, -min_slack) + delta
     s_list = [slack[k] + shift for k in range(m)]
-    lam_list = [jnp.zeros_like(d[0]) + 1.0 for _ in range(m)]
+    if warm:
+        lam_list = [jnp.clip(jnp.where(jnp.isfinite(lam0_ref[k, 0]),
+                                       lam0_ref[k, 0], 1.0), delta, 1e6)
+                    for k in range(m)]
+    else:
+        lam_list = [jnp.zeros_like(d[0]) + 1.0 for _ in range(m)]
 
     x_arr = jnp.stack(x)                     # (n, 8, 128)
     s_arr = jnp.stack(s_list)                # (m, 8, 128)
@@ -167,15 +195,28 @@ def _kernel(n: int, m: int, iters: int, sigma: float,
         0, iters, body, (x_arr, s_arr, lam_arr, x_arr))
     for i in range(n):
         x_out_ref[i, 0] = x_keep[i]
+    if want_lam:
+        # Same rescue sanitize as qp._pdip_solve: non-finite duals -> 0.0
+        # (a downstream warm start clips them to its delta floor).
+        for k in range(m):
+            lam_k = lam_arr[k]
+            lam_out_ref[k, 0] = jnp.where(jnp.isfinite(lam_k), lam_k, 0.0)
 
 
 def solve_qp_batched(P: Array, q: Array, C: Array, d: Array,
                      iters: int = 30, sigma: float = 0.25,
-                     interpret: bool = False) -> Array:
+                     init=None, want_lam: bool = False,
+                     interpret: bool = False):
     """Solve B independent QPs min 1/2 x'Px + q'x s.t. Cx <= d.
 
     P (B,n,n), q (B,n), C (B,m,n), d (B,m) -> x (B,n).  Batch is padded to
     a multiple of 1024 internally.
+
+    ``init=(x0 (B,n), lam0 (B,m))`` warm-starts every lane (the batched
+    mirror of ``qp._pdip_solve(init=...)``); ``want_lam=True`` returns
+    ``(x, lam)`` with the final duals (sanitized like the XLA path) so a
+    dependent batch — e.g. Monte-Carlo samples around a solved nominal —
+    can itself be warm-started.
     """
     B, n = q.shape
     m = d.shape[1]
@@ -194,34 +235,45 @@ def solve_qp_batched(P: Array, q: Array, C: Array, d: Array,
         ap = jnp.transpose(a, perm)
         return ap.reshape(dims + (nb, _SUB, _LANE))
 
-    P_t = tl(P_p, n, n)
-    q_t = tl(q_p, n)
-    C_t = tl(C_p, m, n)
-    d_t = tl(d_p, m)
+    warm = init is not None
+    inputs = [tl(P_p, n, n), tl(q_p, n), tl(C_p, m, n), tl(d_p, m)]
+    vec_spec = lambda k: pl.BlockSpec((k, 1, _SUB, _LANE),
+                                      lambda i: (0, i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    mat_spec = lambda k, l: pl.BlockSpec((k, l, 1, _SUB, _LANE),
+                                         lambda i: (0, 0, i, 0, 0),
+                                         memory_space=pltpu.VMEM)
+    in_specs = [mat_spec(n, n), vec_spec(n), mat_spec(m, n), vec_spec(m)]
+    if warm:
+        x0, lam0 = init
+        x0_p = jnp.concatenate(
+            [x0.astype(P.dtype), jnp.zeros((Bp - B, n), P.dtype)], axis=0)
+        lam0_p = jnp.concatenate(
+            [lam0.astype(P.dtype), jnp.ones((Bp - B, m), P.dtype)], axis=0)
+        inputs += [tl(x0_p, n), tl(lam0_p, m)]
+        in_specs += [vec_spec(n), vec_spec(m)]
 
-    kernel = functools.partial(_kernel, n, m, iters, sigma)
-    x_t = pl.pallas_call(
+    out_specs = [vec_spec(n)]
+    out_shape = [jax.ShapeDtypeStruct((n, nb, _SUB, _LANE), jnp.float32)]
+    if want_lam:
+        out_specs.append(vec_spec(m))
+        out_shape.append(jax.ShapeDtypeStruct((m, nb, _SUB, _LANE),
+                                              jnp.float32))
+
+    kernel = functools.partial(_kernel, n, m, iters, sigma, warm, want_lam)
+    out = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((n, n, 1, _SUB, _LANE),
-                         lambda i: (0, 0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1, _SUB, _LANE), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, n, 1, _SUB, _LANE),
-                         lambda i: (0, 0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1, _SUB, _LANE), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((n, 1, _SUB, _LANE),
-                               lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, nb, _SUB, _LANE), jnp.float32),
+        in_specs=in_specs,
+        out_specs=(tuple(out_specs) if want_lam else out_specs[0]),
+        out_shape=(tuple(out_shape) if want_lam else out_shape[0]),
         interpret=interpret,
-    )(P_t, q_t, C_t, d_t)
+    )(*inputs)
 
-    # (n, nb, 8, 128) -> (B, n)
-    x = x_t.reshape(n, Bp).T
-    return x[:B]
+    def untile(a_t, k):
+        # (k, nb, 8, 128) -> (B, k)
+        return a_t.reshape(k, Bp).T[:B]
+
+    if want_lam:
+        return untile(out[0], n), untile(out[1], m)
+    return untile(out, n)

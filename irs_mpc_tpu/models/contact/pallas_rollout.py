@@ -93,17 +93,35 @@ def chain_gate(model) -> bool:
     warm starts give dq agreeing to 7e-5 while lam differs 87%).  The
     warm-start carry feeds that split forward; on contact-mode-sensitive
     systems the two equally-valid chains then drift ~1e-3/knot and the
-    line search lands in a different basin.  Measured on hardware: planar
-    hand 14.68 (recorded 14.5-14.9) and box_pushing 46.09 (46.1) are
-    preserved; box_pivoting (Kp = 5e4) degrades 228.6 -> 417 (242 even at
-    double warm iterations) and plate_pickup (prismatic-finger grasping)
-    3.31 -> 4.06.  Gate: no very-stiff actuation, no prismatic-finger
-    grasp kinematics — an empirical boundary, re-test before widening."""
-    for mi in model.models:
-        if mi.actuated and max(mi.stiffness) > 1000.0:
-            return False
+    line search lands in a different basin.  Measured r4 on hardware
+    (pre-canonicalization): planar hand 14.68 (recorded 14.5-14.9) and
+    box_pushing 46.09 (46.1) preserved; box_pivoting (Kp = 5e4) degraded
+    228.6 -> 417 (242 even at double warm iterations) and plate_pickup
+    (prismatic-finger grasping) 3.31 -> 4.06.
+
+    r5: ``canon_warm_duals`` (QuasistaticModel) projects the carried duals
+    onto the canonical cone-pair split after every knot, in BOTH chains —
+    removing the free direction the stiff-actuation drift lived in.
+    Measured on hardware (kernel + canon): box_pivoting 786.4 -> best
+    186.8 at 10 descents, clearly BETTER than the recorded XLA-chain
+    228.6 (r4's un-canonicalized kernel degraded it to 417) — the stiff
+    exclusion is lifted; planar_hand 325.0 -> 14.13 (recorded 14.5) and
+    box_pushing 134.4 -> 46.09 (recorded 46.1) preserved at full budget.
+    plate_pickup however measured 6.20 vs the recorded 3.39 even with
+    canon: a gravity-loaded prismatic grasp depends on the intra-pair
+    dual split (the friction force holding the plate, mu*(lam1-lam2))
+    that the canonical projection resets each knot, and the kernel's
+    ~1e-2-class chain accuracy cannot rebuild it within the warm budget —
+    so prismatic-finger systems REMAIN on the XLA scan (its warm solve
+    reproduces the grasp to 3.25 with canon active).  A model that opts
+    out of canonicalization keeps both legacy exclusions."""
     for body in model.bodies:
         if isinstance(body, geom.PrismaticFinger2D):
+            return False
+    if model.canon_warm_duals:
+        return True
+    for mi in model.models:
+        if mi.actuated and max(mi.stiffness) > 1000.0:
             return False
     return True
 
@@ -469,16 +487,23 @@ def make_consts(model):
     """The constant-matrix inputs the kernel/assembly needs, as jnp arrays
     (host side; they become VMEM input refs of the kernel)."""
     p_diag, pq_vec, KU, tau = _hessian_constants(model)
+    # Cone-pair averaging matrix: lam @ pair replaces each contact's two
+    # dual rows by their mean (QuasistaticModel.canon_duals), expressed as
+    # a dot because Mosaic cannot reshape (B, mr) -> (B, mr/2, 2) in-kernel.
+    mr = model.n_constraint_rows()
+    pair = 0.5 * np.kron(np.eye(max(mr, 2) // 2, dtype=np.float32),
+                         np.ones((2, 2), np.float32))
     return {
         "eye": jnp.eye(model.nq, dtype=jnp.float32),
         "pq": jnp.asarray(pq_vec[None, :]),
         "KUT": jnp.asarray(KU.T),
         "tau": jnp.asarray(tau[None, :]),
         "pdiag": jnp.asarray(p_diag[None, :]),
+        "pair": jnp.asarray(pair),
     }
 
 
-_CONST_KEYS = ("eye", "pq", "KUT", "tau", "pdiag")
+_CONST_KEYS = ("eye", "pq", "KUT", "tau", "pdiag", "pair")
 
 
 def assemble_xla(model, x, u):
@@ -590,7 +615,7 @@ def _rollout_kernel(model, T, nq, m, aug, has_rel, iters,
                     K_ref, zrx_ref, zrw_ref, ur_ref,
                     lb_ref, ub_ref, rlb_ref, rub_ref,
                     x0_ref, up0_ref,
-                    eye_ref, pq_ref, kut_ref, tau_ref, pdiag_ref,
+                    eye_ref, pq_ref, kut_ref, tau_ref, pdiag_ref, pair_ref,
                     x_out, u_out,
                     x_scr, up_scr, dq_scr, lam_scr):
     f32 = jnp.float32
@@ -623,6 +648,12 @@ def _rollout_kernel(model, T, nq, m, aug, has_rel, iters,
         dq, lam = _pdip_warm_dense(consts, b, C, d, dq_scr[:], lam_scr[:],
                                    iters)
         dq_scr[:] = dq
+        if model.canon_warm_duals:
+            # Same cone-pair dual canonicalization as step_ws (see
+            # QuasistaticModel.canon_duals), as a dot with the constant
+            # pair-averaging matrix (Mosaic cannot reshape to pairs).
+            lam = jnp.dot(lam, pair_ref[:], preferred_element_type=f32,
+                          precision=_HI)
         lam_scr[:] = lam
         xn = x + dq
         x_out[t + 1] = xn

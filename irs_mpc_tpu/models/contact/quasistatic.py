@@ -98,6 +98,15 @@ class QuasistaticModel:
     #     study's step-function: no force at any positive gap, full reaction
     #     once in contact.
     contact_model: str = "anitescu"
+    # Canonicalize the warm-start dual carry of serial rollout chains: the
+    # two cone rows of a contact share a near-degenerate direction (the
+    # intra-pair split; measured: identical warm solves agree on dq to 7e-5
+    # while lam differs 87%), along which float-order dust grows knot-to-
+    # knot and two equally-valid chains (Pallas kernel vs XLA scan) drift
+    # apart.  Replacing each pair (lam1, lam2) by its mean preserves the
+    # contact's total (normal-force) memory while zeroing the free
+    # direction, pinning both chains to the same canonical trajectory.
+    canon_warm_duals: bool = True
 
     def __post_init__(self):
         if self.contact_model not in ("anitescu", "lcp"):
@@ -267,6 +276,15 @@ class QuasistaticModel:
         return (jnp.zeros(self.nq, jnp.float32),
                 jnp.ones(self.n_constraint_rows(), jnp.float32))
 
+    def canon_duals(self, lam: Array) -> Array:
+        """Project a dual vector onto its canonical cone-pair split (see
+        ``canon_warm_duals``): rows 2c/2c+1 of contact c are replaced by
+        their mean.  Shape-preserving over any leading batch axes."""
+        shp = lam.shape
+        lp = lam.reshape(shp[:-1] + (shp[-1] // 2, 2))
+        mean = jnp.mean(lp, axis=-1, keepdims=True)
+        return jnp.broadcast_to(mean, lp.shape).reshape(shp)
+
     def step_ws(self, x: Array, u: Array, carry):
         """Warm-started step for serial rollouts: the PDIP starts from the
         previous knot's (dq, lam) and runs ``qp_iters_ws`` iterations (the
@@ -280,8 +298,11 @@ class QuasistaticModel:
         if C is None:
             dq = -jnp.linalg.solve(P + 1e-9 * jnp.eye(self.nq), b)
             return q + dq, carry
-        dq, carry = solve_qp_warm(P, b, C, d, carry, self.qp_iters_ws)
-        return q + dq, carry
+        dq, (dq_c, lam_c) = solve_qp_warm(P, b, C, d, carry,
+                                          self.qp_iters_ws)
+        if self.canon_warm_duals:
+            lam_c = self.canon_duals(lam_c)
+        return q + dq, (dq_c, lam_c)
 
     def system(self, pallas_batch: bool = False) -> System:
         """Wrap as the framework's System (step/vmap/jacfwd derived).
@@ -327,12 +348,87 @@ class QuasistaticModel:
                       ws_init_fn=self.ws_init if use_ws else None,
                       ls_rollout_fn=ls_rollout_fn)
 
+    def _est_sweep_fn(self, qp_iters_samples: int, use_pallas: bool):
+        """Fused estimation sweep (System.est_sweep_fn contract): nominal
+        steps at FULL accuracy (``self.qp_iters``) + all sample steps at
+        the surrogate budget, one batched pass.
+
+        Two structural wins over the per-knot path it replaces:
+        * the nominal is solved ONCE (previously: an XLA f0 solve + the
+          exact-Jacobian's forward + decouple_AB's true-system re-step all
+          re-solved it, ~2/3 of the estimation wall);
+        * ``dx=None`` (zero_order_B: samples share the nominal state) means
+          the contact narrow phase runs once per KNOT, not once per sample
+          — P is constant, C/d depend only on q, only the bias b varies.
+
+        NOTE (measured negative result, r5): warm-starting the sample QPs
+        from the nominal's (dq, lam) — the obvious-looking lever — makes
+        accuracy WORSE at matched iteration counts (warm-8 max rel err
+        0.79 vs cold-8's 3.5e-3 on contact-engaged planar-hand knots at
+        std_u=0.3): the samples' active sets differ too much from the
+        nominal's, and the inherited near-boundary (s, lam) collapses the
+        fraction-to-boundary step.  Samples therefore solve COLD at
+        ``qp_iters_samples`` (cold-15 is < 5e-8 from converged on the same
+        distribution); warm starts stay where they are proven — serial
+        rollout chains with small knot-to-knot drift.
+        """
+        import jax as _jax
+
+        from .pallas_qp import solve_qp_batched
+
+        def est_sweep(x_nom, u_nom, dx, du):
+            T, S, m = du.shape
+            nq = self.nq
+            # Nominal batch at full accuracy (with the same solver family
+            # the samples use, so kernel-vs-XLA lane drift cannot bias the
+            # fitted deltas' baseline).
+            Pn, bn = _jax.vmap(self._hessian_and_bias)(x_nom, u_nom)
+            Cn, dn = _jax.vmap(self._constraint_rows)(x_nom)
+            if use_pallas:
+                dq0 = solve_qp_batched(Pn, bn, Cn, dn, iters=self.qp_iters)
+            else:
+                dq0 = _jax.vmap(
+                    lambda P, b, C, d: solve_qp(P, b, C, d, self.qp_iters)
+                )(Pn, bn, Cn, dn)
+            f_nom = x_nom + dq0
+
+            if dx is None:
+                xp = jnp.broadcast_to(x_nom[:, None], (T, S, nq))
+                Cb = jnp.broadcast_to(Cn[:, None], (T, S) + Cn.shape[1:])
+                db = jnp.broadcast_to(dn[:, None], (T, S) + dn.shape[1:])
+            else:
+                xp = x_nom[:, None] + dx
+                Cb, db = _jax.vmap(_jax.vmap(self._constraint_rows))(xp)
+            up = u_nom[:, None] + du
+            Pb, bb = _jax.vmap(_jax.vmap(self._hessian_and_bias))(xp, up)
+
+            flat = lambda a: a.reshape((T * S,) + a.shape[2:])
+            if use_pallas:
+                dq = solve_qp_batched(flat(Pb), flat(bb), flat(Cb),
+                                      flat(db), iters=qp_iters_samples)
+            else:
+                dq = _jax.vmap(
+                    lambda P, b, C, d: solve_qp(P, b, C, d,
+                                                qp_iters_samples)
+                )(flat(Pb), flat(bb), flat(Cb), flat(db))
+            fd = xp + dq.reshape(T, S, nq)
+            return f_nom, fd
+
+        return est_sweep
+
     def estimation_surrogate(self, qp_iters: int = 15) -> System:
         """Cheaper system for the Monte-Carlo estimation sweep: reduced QP
-        iterations, and the Pallas lane-batched solver when running on TPU.
-        Pass as ``IrsMpcParams.estimation_system``."""
+        iterations, the Pallas lane-batched solver when running on TPU, and
+        the fused sweep hook (one nominal solve at full accuracy + shared-
+        constraint sample assembly).  Pass as
+        ``IrsMpcParams.estimation_system``."""
         import dataclasses as _dc
 
         import jax as _jax
+        use_pallas = _jax.default_backend() == "tpu"
         cheap = _dc.replace(self, qp_iters=qp_iters)
-        return cheap.system(pallas_batch=_jax.default_backend() == "tpu")
+        sys = cheap.system(pallas_batch=use_pallas)
+        if not self.pairs:
+            return sys
+        return _dc.replace(
+            sys, est_sweep_fn=self._est_sweep_fn(qp_iters, use_pallas))

@@ -214,18 +214,84 @@ _KNOT_FNS = {
 }
 
 
-def estimate_tv_matrices(
+def _estimate_fused(system: System, mode: str, x_trj, u_trj, key, it,
+                    cfg: SmoothingConfig, need_A: bool):
+    """Zero-order estimation through the system's fused sweep hook.
+
+    One ``est_sweep_fn`` call computes the nominal steps at full solver
+    accuracy AND all perturbed sample steps; the per-knot least-squares
+    fits then run on the returned deltas.  Returns (tv, f_nom) — f_nom at
+    full accuracy, reusable by ``decouple_AB``.
+
+    Sampling is bitwise-identical to the per-knot path (same key splits,
+    same draw shapes/order).  ``need_A=False`` (zero_order_B only) skips
+    the exact-Jacobian A entirely — the caller is about to overwrite it
+    (``decouple_AB``), and the Jacobian's implicit-function solve is the
+    single most expensive node of the sweep.
+    """
+    T = u_trj.shape[0]
+    n, m = system.dim_x, system.dim_u
+    sx, su = cfg.stds(it, n, m)
+    keys = jax.random.split(key, T)
+
+    def draw(k):
+        return _sample_perturbations(k, sx, su, cfg.num_samples)
+
+    dx, du = jax.vmap(draw)(keys)                     # (T, S, n), (T, S, m)
+    dx_arg = None if mode == "zero_order_B" else dx
+    f_nom, fd = system.est_sweep_fn(x_trj[:-1], u_trj, dx_arg, du)
+    D = fd - f_nom[:, None, :]                        # (T, S, n)
+
+    if mode == "zero_order":
+        S = jnp.concatenate([dx, du], axis=2)
+        AB = jax.vmap(_fit_lstsq)(S, D)
+    elif mode == "zero_order_AB":
+        AB = jax.vmap(lambda Si, Di: _fit_lstsq(Si, Di, damp=cfg.damp))(
+            jnp.concatenate([dx, du], axis=2), D)
+    else:                                             # zero_order_B
+        B_hat = jax.vmap(_fit_lstsq)(du, D)
+        if need_A:
+            if cfg.zero_order_B_A_source == "first_order":
+                xp = jnp.broadcast_to(x_trj[:-1, None], dx.shape)
+                ABj = jax.vmap(system.jacobian_xu_batch)(
+                    xp, u_trj[:, None] + du)
+                A_hat = jnp.mean(ABj, axis=1)[:, :, :n]
+            else:
+                A_hat = jax.vmap(system.jacobian_xu)(
+                    x_trj[:-1], u_trj)[:, :, :n]
+        else:
+            A_hat = jnp.zeros((T, n, n), D.dtype)
+        AB = jnp.concatenate([A_hat, B_hat], axis=2)
+
+    A, B = AB[:, :, :n], AB[:, :, n:]
+    c = f_nom - jnp.einsum("tij,tj->ti", A, x_trj[:-1]) \
+        - jnp.einsum("tij,tj->ti", B, u_trj)
+    return TvLinearization(A=A, B=B, c=c), f_nom
+
+
+def estimate_tv_matrices_fnom(
         system: System,
         mode: str,
         x_trj: Array,          # (T+1, n) nominal states
         u_trj: Array,          # (T, m) nominal inputs
         key: Array,
         it: Array,             # iteration count (drives variance decay)
-        cfg: SmoothingConfig) -> TvLinearization:
-    """Estimate (A_t, B_t, c_t) for every knot in one vmapped sweep."""
+        cfg: SmoothingConfig,
+        need_A: bool = True):
+    """Estimate (A_t, B_t, c_t); returns ``(tv, f_nom_or_None)``.
+
+    ``f_nom`` is non-None only on the fused-hook path, where it is computed
+    at full solver accuracy and may be reused downstream (decouple_AB).
+    ``need_A=False`` is honored only where A is separately estimated and
+    about to be discarded (zero_order_B via the hook).
+    """
     if mode not in _KNOT_FNS:
         raise ValueError(
             f"gradient mode {mode!r} not in {list(_KNOT_FNS)}")
+    if (system.est_sweep_fn is not None and system.projection is None
+            and mode in ("zero_order", "zero_order_B", "zero_order_AB")):
+        return _estimate_fused(system, mode, x_trj, u_trj, key, it, cfg,
+                               need_A)
     T = u_trj.shape[0]
     n = system.dim_x
     sx, su = cfg.stds(it, system.dim_x, system.dim_u)
@@ -240,21 +306,41 @@ def estimate_tv_matrices(
     f_nom = system.step_batch(x_trj[:-1], u_trj)
     c = f_nom - jnp.einsum("tij,tj->ti", A, x_trj[:-1]) \
         - jnp.einsum("tij,tj->ti", B, u_trj)
-    return TvLinearization(A=A, B=B, c=c)
+    return TvLinearization(A=A, B=B, c=c), None
+
+
+def estimate_tv_matrices(
+        system: System,
+        mode: str,
+        x_trj: Array,
+        u_trj: Array,
+        key: Array,
+        it: Array,
+        cfg: SmoothingConfig) -> TvLinearization:
+    """Estimate (A_t, B_t, c_t) for every knot in one vmapped sweep."""
+    tv, _ = estimate_tv_matrices_fnom(system, mode, x_trj, u_trj, key, it,
+                                      cfg)
+    return tv
 
 
 def decouple_AB(tv: TvLinearization, indices_u_into_x: Array,
                 x_trj: Array, u_trj: Array,
-                system: System) -> TvLinearization:
+                system: System, f_nom: Array | None = None
+                ) -> TvLinearization:
     """Reference's ``decouple_AB_matrices`` (irs_lqr_quasistatic.py:275-284):
     overwrite A_t with I minus the actuated columns, and pin the actuated rows
-    of B_t to the identity; c is re-derived for consistency."""
+    of B_t to the identity; c is re-derived for consistency.
+
+    ``f_nom`` optionally supplies precomputed full-accuracy nominal steps
+    (the fused estimation hook already solved them), avoiding a redundant
+    batched re-step of the true system."""
     T, n, m = tv.B.shape
     A = jnp.broadcast_to(jnp.eye(n, dtype=tv.A.dtype), (T, n, n))
     A = A.at[:, :, indices_u_into_x].set(0.0)
     B = tv.B.at[:, indices_u_into_x, :].set(
         jnp.broadcast_to(jnp.eye(m, dtype=tv.B.dtype), (T, m, m)))
-    f_nom = system.step_batch(x_trj[:-1], u_trj)
+    if f_nom is None:
+        f_nom = system.step_batch(x_trj[:-1], u_trj)
     c = f_nom - jnp.einsum("tij,tj->ti", A, x_trj[:-1]) \
         - jnp.einsum("tij,tj->ti", B, u_trj)
     return TvLinearization(A=A, B=B, c=c)

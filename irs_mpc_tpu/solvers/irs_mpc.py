@@ -32,7 +32,7 @@ from ..models.base import System
 from ..ops import admm as admm_ops
 from ..ops import lqr as lqr_ops
 from ..ops.estimators import (SmoothingConfig, TvLinearization, decouple_AB,
-                              estimate_tv_matrices)
+                              estimate_tv_matrices_fnom)
 
 Array = jax.Array
 
@@ -463,11 +463,17 @@ class IrsMpc:
             tv = sharded_estimate_tv_matrices(
                 est_sys, p.gradient_mode, x_trj, u_trj, k_est, it,
                 p.smoothing, p.mesh)
+            f_nom_est = None
         else:
-            tv = estimate_tv_matrices(est_sys, p.gradient_mode, x_trj, u_trj,
-                                      k_est, it, p.smoothing)
+            # need_A=False: decouple_AB is about to overwrite A, so the
+            # fused-hook path skips the exact-Jacobian A estimate entirely
+            # (the most expensive node of the zero_order_B sweep).
+            tv, f_nom_est = estimate_tv_matrices_fnom(
+                est_sys, p.gradient_mode, x_trj, u_trj, k_est, it,
+                p.smoothing, need_A=not p.decouple_AB)
         if p.decouple_AB:
-            tv = decouple_AB(tv, self.idx_u, x_trj, u_trj, sys)
+            tv = decouple_AB(tv, self.idx_u, x_trj, u_trj, sys,
+                             f_nom=f_nom_est)
 
         prob = self._build_problem(tv, x_trj)
         n, m = sys.dim_x, sys.dim_u

@@ -144,3 +144,85 @@ def test_zero_order_B_A_source_first_order():
     recon = (jnp.einsum("tij,tj->ti", tv_f.A, x_trj[:-1])
              + jnp.einsum("tij,tj->ti", tv_f.B, u_trj) + tv_f.c)
     np.testing.assert_allclose(recon, f_nom, atol=1e-5)
+
+
+def test_fused_sweep_matches_per_knot_contact():
+    """The fused est_sweep_fn path (one full-accuracy nominal solve +
+    shared-constraint sample sweep, r5) must reproduce the per-knot path's
+    fits: identical sample streams by construction, fits within the
+    nominal-accuracy difference (the fused f_nom is the FULL solver's
+    30-iter solve; the per-knot f0 is the 15-iter surrogate's)."""
+    import dataclasses
+
+    from irs_mpc_tpu.models.contact.systems import make_planar_hand
+    from irs_mpc_tpu.ops.estimators import estimate_tv_matrices_fnom
+
+    model = make_planar_hand(h=0.1)
+    est = model.estimation_surrogate()
+    assert est.est_sweep_fn is not None
+    est_nohook = dataclasses.replace(est, est_sweep_fn=None)
+    T = 6
+    q0 = jnp.asarray(model.get_x_from_q_dict(
+        {"sphere": np.array([0.0, 0.35, 0.0]),
+         "arm_left": np.array([-np.pi / 4, -np.pi / 4]),
+         "arm_right": np.array([np.pi / 4, np.pi / 4])}))
+    iu = model.indices_u_into_x()
+    u_trj = jnp.tile(q0[iu], (T, 1))
+    x_trj = model.system().rollout(q0, u_trj)
+    cfg = SmoothingConfig(num_samples=16, std_u=0.3, std_x=1e-3,
+                          decay_std_x=False)
+    key = jax.random.PRNGKey(7)
+    it = jnp.asarray(2.0, jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        for mode in ("zero_order_B", "zero_order_AB"):
+            tv_f, f_nom = estimate_tv_matrices_fnom(
+                est, mode, x_trj, u_trj, key, it, cfg)
+            tv_p, none = estimate_tv_matrices_fnom(
+                est_nohook, mode, x_trj, u_trj, key, it, cfg)
+            assert f_nom is not None and none is None
+            sB = float(jnp.max(jnp.abs(tv_p.B))) + 1e-9
+            assert float(jnp.max(jnp.abs(tv_f.B - tv_p.B))) / sB < 1e-4
+            assert float(jnp.max(jnp.abs(tv_f.c - tv_p.c))) < 1e-4
+        # The hook's f_nom is full-accuracy: must match the TRUE system.
+        f_true = model.system().step_batch(x_trj[:-1], u_trj)
+        np.testing.assert_allclose(f_nom, f_true, atol=1e-5)
+        # need_A=False zeroes A (caller overwrites it) without touching B.
+        tv_a, _ = estimate_tv_matrices_fnom(
+            est, "zero_order_B", x_trj, u_trj, key, it, cfg, need_A=True)
+        tv_na, _ = estimate_tv_matrices_fnom(
+            est, "zero_order_B", x_trj, u_trj, key, it, cfg, need_A=False)
+        assert bool(jnp.all(tv_na.A == 0.0))
+        np.testing.assert_allclose(tv_na.B, tv_a.B, atol=1e-7)
+
+
+def test_fused_sweep_decouple_reuses_f_nom():
+    """decouple_AB(f_nom=...) must equal the recomputing form when handed
+    the true-accuracy nominal steps."""
+    import dataclasses
+
+    from irs_mpc_tpu.models.contact.systems import make_planar_hand
+    from irs_mpc_tpu.ops.estimators import (decouple_AB,
+                                            estimate_tv_matrices_fnom)
+
+    model = make_planar_hand(h=0.1)
+    est = model.estimation_surrogate()
+    sysm = model.system()
+    T = 4
+    q0 = jnp.asarray(model.get_x_from_q_dict(
+        {"sphere": np.array([0.0, 0.35, 0.0]),
+         "arm_left": np.array([-np.pi / 4, -np.pi / 4]),
+         "arm_right": np.array([np.pi / 4, np.pi / 4])}))
+    iu = jnp.asarray(model.indices_u_into_x())
+    u_trj = jnp.tile(q0[iu], (T, 1))
+    x_trj = sysm.rollout(q0, u_trj)
+    cfg = SmoothingConfig(num_samples=8, std_u=0.3, std_x=1e-3,
+                          decay_std_x=False)
+    with jax.default_matmul_precision("highest"):
+        tv, f_nom = estimate_tv_matrices_fnom(
+            est, "zero_order_B", x_trj, u_trj, jax.random.PRNGKey(0),
+            jnp.asarray(1.0, jnp.float32), cfg, need_A=False)
+        d_reuse = decouple_AB(tv, iu, x_trj, u_trj, sysm, f_nom=f_nom)
+        d_recomp = decouple_AB(tv, iu, x_trj, u_trj, sysm)
+        np.testing.assert_allclose(d_reuse.c, d_recomp.c, atol=1e-5)
+        np.testing.assert_allclose(d_reuse.A, d_recomp.A, atol=0)
+        np.testing.assert_allclose(d_reuse.B, d_recomp.B, atol=0)

@@ -106,6 +106,36 @@ class TestBatchedQp:
                 pal = sys_pal.step_batch(x, u)
         np.testing.assert_allclose(pal, ref, atol=5e-3)
 
+    def test_warm_init_and_dual_output(self):
+        """r5 kernel extensions: ``init=(x0, lam0)`` mirrors
+        qp._pdip_solve's warm branch per lane, ``want_lam=True`` returns
+        sanitized final duals suitable for downstream warm starts."""
+        from irs_mpc_tpu.models.contact.pallas_qp import solve_qp_batched
+        from irs_mpc_tpu.models.contact.qp import _pdip_solve
+        P, q, C, d = self._instances(B=48, seed=3)
+        interp = jax.devices()[0].platform != "tpu"
+        x_cold, lam_cold = solve_qp_batched(P, q, C, d, iters=30,
+                                            want_lam=True, interpret=interp)
+        assert bool(jnp.isfinite(x_cold).all())
+        assert bool(jnp.isfinite(lam_cold).all())
+        assert float(jnp.min(lam_cold)) >= 0.0
+        # Accuracy vs a CONVERGED reference, per-lane p90 (hard lanes
+        # legitimately drift between the kernel and the vmapped path at
+        # matched iteration counts — same criterion as bench.py).
+        conv = jax.vmap(lambda *a: _pdip_solve(*a, 120)[0])(P, q, C, d)
+        scale = float(jnp.max(jnp.abs(conv))) + 1e-9
+        err = np.asarray(jnp.max(jnp.abs(x_cold - conv), axis=1)) / scale
+        ref30 = jax.vmap(lambda *a: _pdip_solve(*a, 30)[0])(P, q, C, d)
+        err_ref = np.asarray(jnp.max(jnp.abs(ref30 - conv), axis=1)) / scale
+        assert np.percentile(err, 90) < max(
+            2.5 * np.percentile(err_ref, 90), 5e-2)
+        # Warm restart from the solution: few iterations stay converged.
+        x_w = solve_qp_batched(P, q, C, d, iters=6,
+                               init=(x_cold, lam_cold), interpret=interp)
+        err_w = np.asarray(jnp.max(jnp.abs(x_w - conv), axis=1)) / scale
+        assert np.percentile(err_w, 90) < max(
+            2.5 * np.percentile(err, 90), 5e-2)
+
 
 def test_pallas_whole_loop_admm_matches_xla():
     """The whole-ADMM-loop kernel (ops/pallas_admm.py) must reproduce the
