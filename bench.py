@@ -620,6 +620,9 @@ def bench_second_order():
     base = mbp.base
     nv, mr = base.nq, base.n_constraint_rows()
     n_x = 2 * nv
+    # Full-accuracy estimation (the driver config: the surrogate is
+    # measured basin-chaotic on this family, see
+    # mbp2d.Mbp2DModel.estimation_surrogate).
     qp_fl = base.qp_iters * _pdip_iter_flops(nv, mr)
     jvp_fl = n_x * (2 * nv * nv + nv ** 3 // 3)
     est = T * S * (qp_fl + qp_fl + jvp_fl)

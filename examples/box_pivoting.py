@@ -90,7 +90,13 @@ def build_cem_solver(T=40, batch_size=100, n_elite=5):
         initial_std=np.ones(2) * 0.05,
         indices_u_into_x=idx_u,
         report_final_cost_with_Q=False)
-    return CrossEntropyMethod(model.system(), params), model
+    # Warm vmapped chains for the population (see planar_hand_cem.py),
+    # WITHOUT the canonical dual carry the iRS factory opts into: canon
+    # resets the grasp friction memory each knot and the CEM search on
+    # this task measurably loses its basin with it (134.3 -> 260.7).
+    import dataclasses
+    cem_model = dataclasses.replace(model, canon_warm_duals=False)
+    return CrossEntropyMethod(cem_model.system(), params), model
 
 
 MODES = ("exact", "first_order", "zero_order_B")

@@ -15,7 +15,7 @@ from irs_mpc_tpu.solvers.cem import CemParams, CrossEntropyMethod
 
 def build_solver(T=60, batch_size=100, n_elite=5):
     model = make_box_pushing(h=0.1)
-    system = model.system()
+    system = model.system()   # warm chains; see planar_hand_cem.py note
     idx_u = model.indices_u_into_x()
 
     q0 = {"box": np.array([0.0, 0.5, 0.0]), "hand": np.array([0.0, -0.2])}

@@ -98,6 +98,10 @@ def build_solver(control_mode="position", num_samples=50, T=30,
         smoothing=smoothing,
         admm_iters=30,
         report_final_cost_with_Q=False,
+        # NOTE: mbp.estimation_surrogate() exists but is deliberately NOT
+        # wired here — see its docstring for the measured basin chaos
+        # (every surrogate budget reshuffles 1-2 of the 9 second-order
+        # curve finals by 1.3-2x in either direction).
         **extra,
     )
     return IrsMpc(system, params), mbp

@@ -31,7 +31,13 @@ def main():
     axes = np.atleast_2d(axes)
     for i, path in enumerate(csvs):
         ax = axes[i // ncols][i % ncols]
-        ys = np.loadtxt(path, delimiter=",")
+        try:
+            ys = np.loadtxt(path, delimiter=",")
+        except ValueError:
+            # Probe/bracket artifacts carry header rows — not cost curves.
+            ax.set_title(f"{path.stem} (non-curve)", fontsize=9)
+            ax.axis("off")
+            continue
         ax.plot(ys)
         ax.set_title(path.stem, fontsize=9)
         ax.set_yscale("log")

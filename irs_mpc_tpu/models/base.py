@@ -119,6 +119,27 @@ class System:
         _, xs = jax.lax.scan(body, x0, u_trj)
         return jnp.concatenate([x0[None], xs], axis=0)
 
+    def rollout_batch(self, x0: Array, u_trj_b: Array) -> Array:
+        """Population rollout: (n,), (B, T, m) -> (B, T+1, n).
+
+        Routes through ``step_batch`` — the lane-batched Pallas kernel
+        when the system carries one — so population workloads (CEM's 16k
+        candidates) ride the batch-saturated kernel instead of a vmapped
+        scalar chain.  Falls back to ``vmap(rollout)`` (per-candidate
+        warm chains) when no hand-optimized batch step exists, so CPU
+        behavior is unchanged."""
+        if self.step_batch_fn is None:
+            return jax.vmap(lambda u: self.rollout(x0, u))(u_trj_b)
+        B = u_trj_b.shape[0]
+        x0b = jnp.broadcast_to(x0, (B,) + x0.shape)
+
+        def body(x, u_t):
+            xn = self.step_batch_fn(x, u_t)
+            return xn, xn
+
+        _, xs = jax.lax.scan(body, x0b, jnp.swapaxes(u_trj_b, 0, 1))
+        return jnp.swapaxes(jnp.concatenate([x0b[None], xs], axis=0), 0, 1)
+
     def __hash__(self):  # static closure key for jit caching
         return hash((self.name, self.dim_x, self.dim_u, self.h, id(self.step)))
 

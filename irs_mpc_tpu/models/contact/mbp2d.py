@@ -161,3 +161,34 @@ class Mbp2DModel:
         """Actuated POSITION indices into the (q, v) state — used by the
         Δu-cost position-controlled solver (IrsLqrMbpPosition analogue)."""
         return self.base.indices_u_into_x()
+
+    def estimation_surrogate(self, qp_iters: int = 20) -> System:
+        """Cheaper system for the Monte-Carlo estimation sweep (pass as
+        ``IrsMpcParams.estimation_system``): the velocity-QP solve runs at
+        a reduced iteration budget for sample steps AND sample Jacobians.
+
+        The second-order estimation wall is the first-order-A Jacobian
+        sweep (reference semantics, mbp_dynamics.py:387-389: A from
+        Jacobians averaged over the u-samples) — jacfwd's primal is the
+        full PDIP forward per sample, so halving its iterations nearly
+        halves the sweep; the implicit-function JVP itself (one KKT solve
+        per sample) is iteration-count independent and keeps the
+        active-set gradient semantics.  Note the sample rollouts fd share
+        the Jacobians' primal via XLA CSE (same points, same solve), so
+        routing fd through the Pallas lane kernel would UN-share that
+        work — the forward-only kernel family deliberately does not apply
+        here.
+
+        MEASURED CAVEAT (r5, why the bundled drivers do NOT wire this in):
+        the second-order planar-hand curve finals are basin-chaotic under
+        any estimate perturbation.  On TPU, 15 iters: spin zero_order_B
+        7.40 -> 15.8 (translate improved 7.38 -> 6.11, torque 64.4 ->
+        45.2); 20 iters: spin restored (7.42) but torque 64.4 -> 74.3 and
+        translate zero_order_AB 9.23 -> 15.2.  Every budget reshuffles
+        1-2 of the 9 finals by 1.3-2x in either direction, so the default
+        configuration keeps full-accuracy estimation and its reproducible
+        committed curves; use this surrogate where wall-clock matters
+        more than a specific basin."""
+        cheap = dataclasses.replace(
+            self, base=dataclasses.replace(self.base, qp_iters=qp_iters))
+        return cheap.system()

@@ -99,22 +99,21 @@ def chain_gate(model) -> bool:
     228.6 -> 417 (242 even at double warm iterations) and plate_pickup
     (prismatic-finger grasping) 3.31 -> 4.06.
 
-    r5: ``canon_warm_duals`` (QuasistaticModel) projects the carried duals
-    onto the canonical cone-pair split after every knot, in BOTH chains —
-    removing the free direction the stiff-actuation drift lived in.
-    Measured on hardware (kernel + canon): box_pivoting 786.4 -> best
-    186.8 at 10 descents, clearly BETTER than the recorded XLA-chain
-    228.6 (r4's un-canonicalized kernel degraded it to 417) — the stiff
-    exclusion is lifted; planar_hand 325.0 -> 14.13 (recorded 14.5) and
-    box_pushing 134.4 -> 46.09 (recorded 46.1) preserved at full budget.
-    plate_pickup however measured 6.20 vs the recorded 3.39 even with
-    canon: a gravity-loaded prismatic grasp depends on the intra-pair
-    dual split (the friction force holding the plate, mu*(lam1-lam2))
-    that the canonical projection resets each knot, and the kernel's
-    ~1e-2-class chain accuracy cannot rebuild it within the warm budget —
-    so prismatic-finger systems REMAIN on the XLA scan (its warm solve
-    reproduces the grasp to 3.25 with canon active).  A model that opts
-    out of canonicalization keeps both legacy exclusions."""
+    r5: ``canon_warm_duals`` (QuasistaticModel, opt-in) projects the
+    carried duals onto the canonical cone-pair split after every knot, in
+    BOTH chains — removing the free direction the stiff-actuation drift
+    lived in.  Measured on hardware (kernel + canon): box_pivoting 786.4
+    -> best 186.8 at 10 descents, clearly BETTER than the recorded
+    XLA-chain 228.6 (r4's un-canonicalized kernel degraded it to 417) —
+    so the pivoting factory opts in and this gate admits stiff systems
+    that do.  Canonicalization is NOT free: it resets the friction-force
+    component mu*(lam1-lam2) each knot, and friction-memory tasks
+    measurably lose their basins with it (planar_hand_spin first_order
+    54.1 -> 127.9 on the XLA chain alone; plate_pickup's kernel-chain
+    grasp 3.39 -> 6.20 — the kernel's ~1e-2-class chain accuracy cannot
+    rebuild the grasp force within the warm budget), hence opt-in
+    per model, prismatic-finger grasping excluded outright, and the
+    legacy stiffness exclusion for models that do not opt in."""
     for body in model.bodies:
         if isinstance(body, geom.PrismaticFinger2D):
             return False

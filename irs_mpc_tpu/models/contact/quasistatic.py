@@ -98,15 +98,24 @@ class QuasistaticModel:
     #     study's step-function: no force at any positive gap, full reaction
     #     once in contact.
     contact_model: str = "anitescu"
-    # Canonicalize the warm-start dual carry of serial rollout chains: the
-    # two cone rows of a contact share a near-degenerate direction (the
-    # intra-pair split; measured: identical warm solves agree on dq to 7e-5
-    # while lam differs 87%), along which float-order dust grows knot-to-
-    # knot and two equally-valid chains (Pallas kernel vs XLA scan) drift
-    # apart.  Replacing each pair (lam1, lam2) by its mean preserves the
-    # contact's total (normal-force) memory while zeroing the free
-    # direction, pinning both chains to the same canonical trajectory.
-    canon_warm_duals: bool = True
+    # OPT-IN: canonicalize the warm-start dual carry of serial rollout
+    # chains: the two cone rows of a contact share a near-degenerate
+    # direction (the intra-pair split; measured: identical warm solves
+    # agree on dq to 7e-5 while lam differs 87%), along which float-order
+    # dust grows knot-to-knot and two equally-valid chains (Pallas kernel
+    # vs XLA scan) drift apart.  Replacing each pair (lam1, lam2) by its
+    # mean preserves the contact's total (normal-force) memory while
+    # zeroing the free direction, pinning both chains to the same
+    # canonical trajectory — which is what admits STIFF systems to the
+    # whole-chain rollout kernel (box_pivoting: kernel+canon measures
+    # 186.8 best vs the 228.6 XLA-chain curve; see
+    # pallas_rollout.chain_gate).  Default OFF: the projection also
+    # resets the friction-force component mu*(lam1-lam2) each knot, and
+    # friction-memory tasks measurably lose their basins with it
+    # (planar_hand_spin first_order 54.1 -> 127.9; plate_pickup's
+    # kernel-chain grasp 3.39 -> 6.20).  Enable per model where measured
+    # beneficial.
+    canon_warm_duals: bool = False
 
     def __post_init__(self):
         if self.contact_model not in ("anitescu", "lcp"):

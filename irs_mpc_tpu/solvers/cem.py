@@ -197,6 +197,13 @@ class CrossEntropyMethod:
             x = self.system.rollout(self.x0, u)
             return self._cost(x, u)
 
+        # NOTE (r5 measured): scoring the population through the lane-
+        # batched Pallas kernel (System.rollout_batch on a
+        # pallas_batch=True system) degrades contact-CEM quality
+        # (box_pushing 47.2 -> 57.0, box_pivoting 134.3 -> 260.7): cold
+        # kernel lanes score candidates while the accepted mean rolls the
+        # warm XLA chain, and the mismatch corrupts elite selection.  CEM
+        # therefore keeps the warm vmapped chains.
         with jax.default_matmul_precision("highest"):
             costs = jax.vmap(eval_one)(cand)
         # Diverged rollouts (NaN/inf cost) must never become elites.

@@ -182,3 +182,34 @@ def test_cem_noise_knots_band_limited():
         with pytest.raises(ValueError):
             CrossEntropyMethod(make_pendulum(0.05),
                                CemParams(**base, noise_knots=bad))
+
+
+def test_rollout_batch_pallas_population_path():
+    """System.rollout_batch must agree with vmap(rollout) — on the scalar
+    fallback exactly, and through the lane-batched contact kernel
+    (interpret mode) to the kernel's accuracy class.  This is the CEM
+    population path (r5): contact CEM rides step_batch at population
+    batch sizes."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from irs_mpc_tpu.models.contact.systems import make_box_pushing
+
+    m = make_box_pushing()
+    sys_ref = m.system()
+    sys_pal = m.system(pallas_batch=True)
+    rng = np.random.RandomState(0)
+    B, T = 6, 5
+    x0 = jnp.asarray([0., 0.5, 0., 0., -0.12], jnp.float32)
+    u_b = jnp.asarray(
+        np.tile(np.asarray(x0)[m.indices_u_into_x()], (B, T, 1))
+        + rng.randn(B, T, 2) * 0.02, jnp.float32)
+    # Scalar fallback == vmap(rollout) by construction.
+    xs_fb = sys_ref.rollout_batch(x0, u_b)
+    xs_vm = jax.vmap(lambda u: sys_ref.rollout(x0, u))(u_b)
+    np.testing.assert_allclose(xs_fb, xs_vm, atol=0)
+    # Kernel path: cold-30 batched steps vs the warm vmapped chains.
+    with pltpu.force_tpu_interpret_mode():
+        xs_k = sys_pal.rollout_batch(x0, u_b)
+    assert xs_k.shape == (B, T + 1, m.nq)
+    np.testing.assert_allclose(xs_k, xs_vm, atol=2e-2)

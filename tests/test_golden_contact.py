@@ -66,11 +66,8 @@ def test_golden_contact_final_carrots():
     """45-dof 20-object pile at 3 descents (its per-descent cost dominates
     CI time; 3 descents already locks the plow-pass descent rate)."""
     solver = _run("carrots", 3)
-    # Initial moved 211.8252 -> 210.4859 (r5): canon_warm_duals projects the
-    # rollout chain's dual carry; the 45-dof 20-object pile is the one
-    # system whose initial rollout shifts past the 0.1% lock.
-    np.testing.assert_allclose(solver.cost_lst[0], 210.4859, rtol=1e-3)
-    c_best = 177.19
+    np.testing.assert_allclose(solver.cost_lst[0], 211.8252, rtol=1e-3)
+    c_best = 172.98
     assert abs(solver.cost_best - c_best) <= REL_TOL * c_best, (
         f"carrots: best cost {solver.cost_best:.4f} drifted more than "
         f"{REL_TOL:.0%} from the golden {c_best:.4f}")

@@ -176,11 +176,11 @@ def test_unsupported_models_fall_back():
     """Models outside the kernel scope must not attach the hook (they keep
     the XLA scan path): the LCP contact model and carrots (500 contact
     rows x 45 dofs — past the dense-batched kernel's VMEM/op-count gate).
-    With the r5 dual-split canonicalization (canon_warm_duals, default on)
-    the chain quality gate now ADMITS the stiff-actuation system it
-    excluded in r4 (box_pivoting, measured 186.8 vs recorded 228.6);
-    prismatic-finger grasping (plate_pickup) remains excluded — see
-    pr.chain_gate for both measured results."""
+    With the r5 dual-split canonicalization (canon_warm_duals, OPT-IN —
+    box_pivoting's factory enables it) the chain quality gate now ADMITS
+    the stiff-actuation system it excluded in r4 (box_pivoting, measured
+    186.8 vs recorded 228.6); prismatic-finger grasping (plate_pickup)
+    remains excluded — see pr.chain_gate for the measured trade-offs."""
     from irs_mpc_tpu.models.contact.systems import (make_box_pivoting,
                                                     make_box_pushing,
                                                     make_carrots,
