@@ -36,6 +36,17 @@ this framework on one XLA CPU core via bench_baseline_cpu.py) when the
 artifact exists; the reference farm's own wall-clock remains unrecorded
 upstream and is reported only as a clearly-labeled estimate field.
 
+Timing methodology (r5): the axon TPU tunnel charges a fixed ~45-50 ms RPC
+round trip per host<->device synchronization (measured; see _timeit_slope).
+Legacy ``_timeit`` numbers therefore include ~47/n_reps ms of harness
+latency that production drivers never pay (they chain iterations on device
+and sync once per descent).  Every solver metric now ALSO carries
+``*_exec`` fields — the slope of total wall time vs chained call count,
+which cancels the fixed tunnel cost exactly — while the headline ``value``
+keeps the legacy method for cross-round comparability (r1-r4 artifacts
+were measured with it).  The saturation sweeps (first recorded r5) use
+slope timing directly.
+
 Each section is independently guarded: a failure emits an error line and the
 remaining metrics still run.
 """
@@ -73,6 +84,47 @@ def _timeit(fn, n_reps, block, n_blocks=N_BLOCKS):
         ts.append((time.perf_counter() - t0) / n_reps)
     ts.sort()
     return ts[len(ts) // 2], ts[0], ts[-1]
+
+
+def _timeit_slope(fn, ns=(5, 15, 45), n_fits=3):
+    """True per-call EXECUTION time of a chained step ``fn`` via the slope of
+    total wall time vs call count (median of ``n_fits`` independent fits).
+
+    Why this exists (measured r5): the experimental axon TPU tunnel charges
+    a fixed ~45-50 ms RPC round trip per host<->device synchronization.
+    ``_timeit`` blocks once per ``n_reps`` calls, so every reported time
+    carries an additive ~47/n_reps ms of tunnel latency that is an artifact
+    of this test harness, NOT of the framework or the TPU (verified: the
+    same executable measures 46.8 ms/call when synced per call and
+    0.14-3 ms/call as the slope of an async chain).  Fitting total time
+    against n in {5, 15, 45} cancels the fixed cost exactly; the slope is
+    the steady-state per-iteration time a production driver (which never
+    syncs mid-descent) actually pays.  ``fn`` must chain device state so
+    calls are dependency-ordered and nothing syncs inside.
+    """
+    import jax
+    fn()                       # warm (compile)
+    jax.block_until_ready(fn())
+    slopes = []
+    for _ in range(n_fits):
+        totals = []
+        for n in ns:
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn()
+            jax.block_until_ready(out)
+            totals.append(time.perf_counter() - t0)
+        A = np.vstack([ns, np.ones(len(ns))]).T
+        (a, _b), *_ = np.linalg.lstsq(A, np.array(totals), rcond=None)
+        slopes.append(max(float(a), 1e-9))
+    slopes.sort()
+    return slopes[len(slopes) // 2], slopes[0], slopes[-1]
+
+
+TUNNEL_NOTE = ("legacy-method times include ~45-50ms/n_reps of axon-tunnel "
+               "RPC latency (harness artifact); *_exec fields are the "
+               "chained-slope execution time with that cancelled")
 
 
 def spread_fields(dt_med, dt_min, dt_max, to_value):
@@ -319,12 +371,18 @@ def bench_pallas_qp():
 
     t_xla, t_xla_lo, t_xla_hi = _timeit(xla_fn, 20, jax.block_until_ready)
     t_pl, t_pl_lo, t_pl_hi = _timeit(pl_fn, 20, jax.block_until_ready)
+    t_xla_ex, _, _ = _timeit_slope(xla_fn)
+    t_pl_ex, _, _ = _timeit_slope(pl_fn)
     emit("pallas_qp_speedup_vs_xla", t_xla / t_pl,
          "x (2048 planar-hand contact QPs, non-interpreted)",
          t_xla / t_pl, p90_err_vs_converged=round(p90_pl, 5),
          p90_err_xla_vs_converged=round(p90_xla, 5),
          p50_agreement=round(p50_agree, 6),
          xla_ms=round(t_xla * 1e3, 3), pallas_ms=round(t_pl * 1e3, 3),
+         xla_ms_exec=round(t_xla_ex * 1e3, 3),
+         pallas_ms_exec=round(t_pl_ex * 1e3, 3),
+         speedup_exec=round(t_xla_ex / t_pl_ex, 2),
+         timing_note=TUNNEL_NOTE,
          value_min=round(t_xla_lo / t_pl_hi, 4),
          value_max=round(t_xla_hi / t_pl_lo, 4), n_blocks=N_BLOCKS)
 
@@ -363,10 +421,16 @@ def bench_pallas_riccati():
                                      jax.block_until_ready)
     t_pl, t_pl_lo, t_pl_hi = _timeit(lambda: pl_fn().K, 20,
                                      jax.block_until_ready)
+    t_scan_ex, _, _ = _timeit_slope(lambda: scan_fn().K)
+    t_pl_ex, _, _ = _timeit_slope(lambda: pl_fn().K)
     emit("pallas_riccati_speedup_vs_xla", t_scan / t_pl,
          "x (T=200 n=16 m=4 backward pass, non-interpreted)",
          t_scan / t_pl, max_rel_err=round(rel_err, 7),
          scan_ms=round(t_scan * 1e3, 3), pallas_ms=round(t_pl * 1e3, 3),
+         scan_ms_exec=round(t_scan_ex * 1e3, 3),
+         pallas_ms_exec=round(t_pl_ex * 1e3, 3),
+         speedup_exec=round(t_scan_ex / t_pl_ex, 2),
+         timing_note=TUNNEL_NOTE,
          value_min=round(t_s_lo / t_pl_hi, 4),
          value_max=round(t_s_hi / t_pl_lo, 4), n_blocks=N_BLOCKS)
 
@@ -412,19 +476,25 @@ def bench_planar_hand():
         return out[0]
 
     dt, dt_lo, dt_hi = _timeit(step, 20, jax.block_until_ready)
+    dt_ex, dt_ex_lo, dt_ex_hi = _timeit_slope(step)
     iters_per_s = 1.0 / dt
     base = _cpu_baseline()
     n_alpha = len(solver.params.line_search_alphas)
+    roof = planar_hand_roofline(model, T, num_samples, n_alpha, dt)
     emit("planar_hand_irs_iterations_per_s", iters_per_s,
          "iterations/s (50 samples x 30 knots, Pallas PDIP estimation + "
          "boxed-ADMM QP + contact forward rollout)",
          iters_per_s / base["baseline_iters_per_s"],
          ms_per_iter=round(dt * 1e3, 3), **base,
-         **planar_hand_roofline(model, T, num_samples, n_alpha, dt),
+         ms_per_iter_exec=round(dt_ex * 1e3, 3),
+         iterations_per_s_exec=round(1.0 / dt_ex, 1),
+         mfu_exec=round(roof["flops_per_iter"] / dt_ex / V5E_PEAK_F32, 6),
+         timing_note=TUNNEL_NOTE, **roof,
          **spread_fields(dt, dt_lo, dt_hi, lambda t: 1.0 / t))
     rollouts = T * num_samples / dt
     emit("planar_hand_contact_rollouts_per_s_per_chip", rollouts,
          "contact rollouts/s", rollouts / 10_000.0,
+         rollouts_per_s_exec=round(T * num_samples / dt_ex, 1),
          **spread_fields(dt, dt_lo, dt_hi,
                          lambda t: T * num_samples / t))
 
@@ -463,10 +533,15 @@ def bench_pendulum():
         return out[0]
 
     dt, dt_lo, dt_hi = _timeit(step, 50, jax.block_until_ready)
+    dt_ex, _, _ = _timeit_slope(step)
     value = T * num_samples / dt
+    roof = pendulum_roofline(T, num_samples, dt)
     emit("smoothed_rollouts_per_s_per_chip", value, "rollouts/s",
          value / 10_000.0,
-         **pendulum_roofline(T, num_samples, dt),
+         rollouts_per_s_exec=round(T * num_samples / dt_ex, 1),
+         ms_per_iter_exec=round(dt_ex * 1e3, 3),
+         mfu_exec=round(roof["flops_per_iter"] / dt_ex / V5E_PEAK_F32, 6),
+         timing_note=TUNNEL_NOTE, **roof,
          **spread_fields(dt, dt_lo, dt_hi,
                          lambda t: T * num_samples / t))
 
@@ -519,8 +594,7 @@ def bench_saturation():
             break
         fn = jax.jit(lambda B=B: solve_qp_batched(
             P_all[:B], b_all[:B], C_all[:B], d_all[:B], iters=iters))
-        n_reps = max(2, min(20, (1 << 14) // (B >> 8)))
-        dt, _, _ = _timeit(fn, n_reps, jax.block_until_ready, n_blocks=3)
+        dt, _, _ = _timeit_slope(fn, ns=(3, 9, 27), n_fits=1)
         gflops = B * flops_per_qp / dt / 1e9
         sweep_qp.append(dict(batch=B, qps_per_s=round(B / dt, 1),
                              us_per_call=round(dt * 1e6, 1),
@@ -535,9 +609,10 @@ def bench_saturation():
          "2^8..2^18)", peak / (1500.0 / 2.5e-3),
          knee_batch=knee, peak_gflops=peak_point["achieved_gflops"],
          peak_mfu=peak_point["mfu"],
-         latency_note="per-call wall time is ~flat to 2^16 (fixed "
-         "per-launch overhead); small batches are latency-bound, the "
-         "estimation sweep's B=1500 included", sweep=sweep_qp)
+         latency_note="slope-timed execution (tunnel RPC latency "
+         "cancelled, see _timeit_slope); small batches remain "
+         "dispatch-latency-bound on chip", timing_note=TUNNEL_NOTE,
+         sweep=sweep_qp)
 
     # --- (b) pendulum rollout steps ---------------------------------------
     pend = make_pendulum(0.05)
@@ -558,8 +633,7 @@ def bench_saturation():
             return out
 
         fn = jax.jit(roll)
-        n_reps = max(2, min(20, (1 << 13) // (S >> 8)))
-        dt, _, _ = _timeit(fn, n_reps, jax.block_until_ready, n_blocks=3)
+        dt, _, _ = _timeit_slope(fn, ns=(3, 9, 27), n_fits=1)
         gflops = S * flops_per_rollout / dt / 1e9
         sweep_ro.append(dict(batch=S, rollouts_per_s=round(S / dt, 1),
                              us_per_call=round(dt * 1e6, 1),
@@ -583,15 +657,20 @@ def bench_second_order():
     over Drake AutoDiff sim steps (/root/reference/irs_lqr/
     mbp_dynamics.py:268-323, 387-434).
 
-    Roofline note: this workload's wall is the ESTIMATION Jacobian sweep —
-    zero_order_B with A from averaged FIRST-ORDER Jacobians (the MBP
-    reference's semantics) pushes 14 implicit-function tangents through
-    every sample's velocity-QP solve.  The pallas_rollout playbook does
-    not directly apply: the kernel family is forward-only (no JVP), and
-    the mbp step's QP is over velocities with a free-velocity bias solve —
-    a dense-lane JVP kernel would be a new (worthwhile) kernel, not a
-    reuse.  The forward rollout DOES reuse the warm-chain machinery
-    (step_ws)."""
+    Perf history (r5): this metric's first measurement read 46.5 ms/iter
+    and the r4-era analysis blamed the estimation Jacobian FLOPs.  Slope
+    profiling (see _timeit_slope) showed the true cost was an XLA:TPU
+    LAYOUT pathology, not compute: the per-knot estimation path ran the
+    PDIP scan under a NESTED (T=30, S=50) vmap, which never collapses to
+    the fast flat layout (measured ~20x penalty; flat batches are fast iff
+    divisible by the 8-row sublane).  Flattening the sweep to one aligned
+    (T*S -> 1504)-row batch (ops/estimators.py, module-top note) dropped
+    the iteration 46.5 -> ~11 ms legacy-method / 6.5 ms true exec with
+    bitwise-identical sampling.  The implicit-function tangents themselves
+    are nearly free (the fd and jacfwd primals CSE into one sweep); a
+    dense-lane JVP kernel remains possible but the workload is no longer
+    estimation-dominated.  The forward rollout reuses the warm-chain
+    machinery (step_ws)."""
     import sys as _sys
     from pathlib import Path
     _sys.path.insert(0, str(Path(__file__).resolve().parent / "examples"))
@@ -611,6 +690,7 @@ def bench_second_order():
         return out[0]
 
     dt, dt_lo, dt_hi = _timeit(step, 10, jax.block_until_ready)
+    dt_ex, dt_ex_lo, dt_ex_hi = _timeit_slope(step)
     iters_per_s = 1.0 / dt
 
     # Phase flops: T*S velocity-QP solves (nv-dim, mr rows, 30 iters) for
@@ -638,6 +718,10 @@ def bench_second_order():
          "iterations/s (second-order mbp2d position mode, 50 samples x "
          "30 knots, first-order-A zero_order_B estimation)",
          iters_per_s / 2.0, ms_per_iter=round(dt * 1e3, 3),
+         ms_per_iter_exec=round(dt_ex * 1e3, 3),
+         iterations_per_s_exec=round(1.0 / dt_ex, 1),
+         mfu_exec=round(flops / dt_ex / V5E_PEAK_F32, 6),
+         timing_note=TUNNEL_NOTE,
          baseline_estimated=True, baseline_iters_per_s_assumed=2.0,
          **f, **spread_fields(dt, dt_lo, dt_hi, lambda t: 1.0 / t))
 

@@ -127,18 +127,31 @@ class System:
         candidates) ride the batch-saturated kernel instead of a vmapped
         scalar chain.  Falls back to ``vmap(rollout)`` (per-candidate
         warm chains) when no hand-optimized batch step exists, so CPU
-        behavior is unchanged."""
-        if self.step_batch_fn is None:
-            return jax.vmap(lambda u: self.rollout(x0, u))(u_trj_b)
+        behavior is unchanged.
+
+        The population axis is padded to a multiple of 8 (repeated last
+        row, sliced off after) — XLA:TPU runs fixed-iteration solver scans
+        ~20x slower when the flat batch is not sublane-aligned (see
+        ops/estimators.py module note); per-row results are unchanged."""
         B = u_trj_b.shape[0]
-        x0b = jnp.broadcast_to(x0, (B,) + x0.shape)
+        pad = (-B) % 8
+        if pad:
+            u_trj_b = jnp.concatenate(
+                [u_trj_b, jnp.broadcast_to(u_trj_b[-1:],
+                                           (pad,) + u_trj_b.shape[1:])],
+                axis=0)
+        if self.step_batch_fn is None:
+            out = jax.vmap(lambda u: self.rollout(x0, u))(u_trj_b)
+            return out[:B] if pad else out
+        x0b = jnp.broadcast_to(x0, (B + pad,) + x0.shape)
 
         def body(x, u_t):
             xn = self.step_batch_fn(x, u_t)
             return xn, xn
 
         _, xs = jax.lax.scan(body, x0b, jnp.swapaxes(u_trj_b, 0, 1))
-        return jnp.swapaxes(jnp.concatenate([x0b[None], xs], axis=0), 0, 1)
+        out = jnp.swapaxes(jnp.concatenate([x0b[None], xs], axis=0), 0, 1)
+        return out[:B] if pad else out
 
     def __hash__(self):  # static closure key for jit caching
         return hash((self.name, self.dim_x, self.dim_u, self.h, id(self.step)))

@@ -146,72 +146,132 @@ def fit_from_moments(G: Array, M: Array, damp: float = 0.0) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Flat 8-aligned batch evaluation (TPU layout discipline)
+#
+# Two measured XLA:TPU pathologies shape how the sweeps below call the
+# system's heavy operators (step_batch / jacobian_xu_batch):
+#   * a vmapped fixed-iteration solver scan with a batch NOT divisible by 8
+#     (the sublane width) runs ~20x slower than the aligned size one row up
+#     (measured: 1500 contact QPs 46 ms vs 1504 QPs 2.4 ms on v5e);
+#   * NESTED batch dims are pathological regardless of alignment — a
+#     (T, S)-vmapped PDIP scan never collapses to the fast flat layout
+#     (measured: (30,56)=1680 rows 42 ms nested vs 2.3 ms flat-aligned).
+# So every heavy sweep flattens (knots x samples) to ONE leading batch and
+# pads it to a multiple of 8 with repeated last rows; padded rows are
+# discarded after the call.  Per-row results are unchanged — rows are
+# independent under vmap — so this is a pure layout transform.
+# ---------------------------------------------------------------------------
+
+_SUBLANE = 8
+
+
+def _pad_rows(a: Array, pad: int) -> Array:
+    if pad == 0:
+        return a
+    return jnp.concatenate(
+        [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0)
+
+
+def aligned_batch_call(fn, *args):
+    """Call ``fn`` (a per-row batched operator) with the leading batch padded
+    up to a multiple of 8; returns outputs with the padding sliced off.
+    Accepts a single array or a tuple/list return."""
+    B = args[0].shape[0]
+    pad = (-B) % _SUBLANE
+    out = fn(*(_pad_rows(a, pad) for a in args))
+    if pad == 0:
+        return out
+    if isinstance(out, (tuple, list)):
+        return type(out)(o[:B] for o in out)
+    return out[:B]
+
+
+def _flat_call(fn, *args_ts):
+    """Flatten (T, S, ...) leading dims to one aligned batch, call, restore."""
+    T, S = args_ts[0].shape[:2]
+    flat = lambda a: a.reshape((T * S,) + a.shape[2:])
+    out = aligned_batch_call(fn, *(flat(a) for a in args_ts))
+    unflat = lambda o: o.reshape((T, S) + o.shape[1:])
+    if isinstance(out, (tuple, list)):
+        return type(out)(unflat(o) for o in out)
+    return unflat(out)
+
+
+# ---------------------------------------------------------------------------
 # Per-knot estimators (vmapped over the time axis by estimate_tv_matrices)
 # ---------------------------------------------------------------------------
 
-def _knot_exact(system: System, x, u, key, sx, su, cfg):
-    AB = system.jacobian_xu(x, u)
-    return AB
+def _estimate_flat(system: System, mode: str, x_trj, u_trj, key, it,
+                   cfg: SmoothingConfig):
+    """Generic estimation sweep over all knots as ONE flat aligned batch.
 
+    Semantics per mode (names and behavior match the reference's
+    ``gradient_mode`` strings):
+      * "exact": A,B from the exact Jacobian at the nominal.
+      * "first_order": average of Jacobians at the perturbed points
+        (``irs_lqr_first_order.py``; the MBP variant averages over
+        u-samples, mbp_dynamics.py:387-389).
+      * "zero_order": joint [A|B] fit from (dx, du) rollout deltas
+        (``irs_lqr_zero_order.py:27-63``).
+      * "zero_order_B": B from input-only sampling; A from the exact
+        Jacobian at the nominal (quasistatic reference,
+        quasistatic_dynamics.py:242-266) or from first-order Jacobian
+        averaging over the same u-samples (MBP reference) per
+        ``cfg.zero_order_B_A_source``.
+      * "zero_order_AB": joint damped [A|B] fit
+        (``quasistatic_dynamics.py:268-300``).
 
-def _knot_first_order(system: System, x, u, key, sx, su, cfg):
-    dx, du = _sample_perturbations(key, sx, su, cfg.num_samples)
+    Sampling is bitwise-identical to a per-knot formulation (one key split
+    per knot, same draw shapes/order); the flattening is a pure layout
+    transform (see the module-top TPU layout note).  Returns (AB (T,n,n+m),
+    f_nom (T,n)).
+    """
+    T = u_trj.shape[0]
+    n = system.dim_x
+    x_nom = x_trj[:-1]
+    f_nom = aligned_batch_call(system.step_batch, x_nom, u_trj)
+
+    if mode == "exact":
+        AB = aligned_batch_call(system.jacobian_xu_batch, x_nom, u_trj)
+        return AB, f_nom
+
+    sx, su = cfg.stds(it, system.dim_x, system.dim_u)
+    keys = jax.random.split(key, T)
+    dx, du = jax.vmap(
+        lambda k: _sample_perturbations(k, sx, su, cfg.num_samples))(keys)
     if system.projection is not None:
-        xp, up = system.projection(x, dx, u, du)
+        xp, up = jax.vmap(system.projection)(x_nom, dx, u_trj, du)
     else:
-        xp, up = x[None] + dx, u[None] + du
-    AB = system.jacobian_xu_batch(xp, up)
-    return jnp.mean(AB, axis=0)
+        xp, up = x_nom[:, None] + dx, u_trj[:, None] + du
 
-
-def _knot_zero_order(system: System, x, u, key, sx, su, cfg):
-    """Generic zero-order: joint [A|B] fit from (dx, du) rollout deltas."""
-    dx, du = _sample_perturbations(key, sx, su, cfg.num_samples)
-    if system.projection is not None:
-        xp, up = system.projection(x, dx, u, du)
-        dx, du = xp - x[None], up - u[None]
-    else:
-        xp, up = x[None] + dx, u[None] + du
-    f0 = system.step(x, u)
-    fd = system.step_batch(xp, up)
-    S = jnp.concatenate([dx, du], axis=1)
-    return _fit_lstsq(S, fd - f0[None])
-
-
-def _knot_zero_order_B(system: System, x, u, key, sx, su, cfg):
-    """B from input-only sampling; A from the exact Jacobian at the nominal
-    (quasistatic reference) or from first-order Jacobian averaging over the
-    same u-samples (MBP reference, mbp_dynamics.py:387-389) per
-    ``cfg.zero_order_B_A_source``."""
-    _, du = _sample_perturbations(key, sx, su, cfg.num_samples)
-    f0 = system.step(x, u)
-    x_rep = jnp.broadcast_to(x, (cfg.num_samples,) + x.shape)
-    fd = system.step_batch(x_rep, u[None] + du)
-    B_hat = _fit_lstsq(du, fd - f0[None])
-    if cfg.zero_order_B_A_source == "first_order":
-        AB = system.jacobian_xu_batch(x_rep, u[None] + du)
-        A_hat = jnp.mean(AB, axis=0)[:, :x.shape[0]]
-    else:
-        A_hat = system.jacobian_xu(x, u)[:, :x.shape[0]]
-    return jnp.concatenate([A_hat, B_hat], axis=1)
-
-
-def _knot_zero_order_AB(system: System, x, u, key, sx, su, cfg):
-    """Joint damped [A|B] fit (std_x fixed small, not decayed by default)."""
-    dx, du = _sample_perturbations(key, sx, su, cfg.num_samples)
-    f0 = system.step(x, u)
-    fd = system.step_batch(x[None] + dx, u[None] + du)
-    S = jnp.concatenate([dx, du], axis=1)
-    return _fit_lstsq(S, fd - f0[None], damp=cfg.damp)
-
-
-_KNOT_FNS = {
-    "exact": _knot_exact,
-    "first_order": _knot_first_order,
-    "zero_order": _knot_zero_order,
-    "zero_order_B": _knot_zero_order_B,
-    "zero_order_AB": _knot_zero_order_AB,
-}
+    if mode == "first_order":
+        ABs = _flat_call(system.jacobian_xu_batch, xp, up)
+        AB = jnp.mean(ABs, axis=1)
+    elif mode == "zero_order":
+        if system.projection is not None:
+            dx, du = xp - x_nom[:, None], up - u_trj[:, None]
+        fd = _flat_call(system.step_batch, xp, up)
+        S = jnp.concatenate([dx, du], axis=2)
+        AB = jax.vmap(_fit_lstsq)(S, fd - f_nom[:, None])
+    elif mode == "zero_order_B":
+        # Samples share the nominal state (input-only sampling).
+        xb = jnp.broadcast_to(x_nom[:, None], dx.shape)
+        ub = u_trj[:, None] + du
+        fd = _flat_call(system.step_batch, xb, ub)
+        B_hat = jax.vmap(_fit_lstsq)(du, fd - f_nom[:, None])
+        if cfg.zero_order_B_A_source == "first_order":
+            ABj = _flat_call(system.jacobian_xu_batch, xb, ub)
+            A_hat = jnp.mean(ABj, axis=1)[:, :, :n]
+        else:
+            A_hat = aligned_batch_call(
+                system.jacobian_xu_batch, x_nom, u_trj)[:, :, :n]
+        AB = jnp.concatenate([A_hat, B_hat], axis=2)
+    else:                                             # zero_order_AB
+        fd = _flat_call(system.step_batch, xp, up)
+        S = jnp.concatenate([dx, du], axis=2)
+        AB = jax.vmap(lambda Si, Di: _fit_lstsq(Si, Di, damp=cfg.damp))(
+            S, fd - f_nom[:, None])
+    return AB, f_nom
 
 
 def _estimate_fused(system: System, mode: str, x_trj, u_trj, key, it,
@@ -253,12 +313,12 @@ def _estimate_fused(system: System, mode: str, x_trj, u_trj, key, it,
         if need_A:
             if cfg.zero_order_B_A_source == "first_order":
                 xp = jnp.broadcast_to(x_trj[:-1, None], dx.shape)
-                ABj = jax.vmap(system.jacobian_xu_batch)(
-                    xp, u_trj[:, None] + du)
+                ABj = _flat_call(system.jacobian_xu_batch,
+                                 xp, u_trj[:, None] + du)
                 A_hat = jnp.mean(ABj, axis=1)[:, :, :n]
             else:
-                A_hat = jax.vmap(system.jacobian_xu)(
-                    x_trj[:-1], u_trj)[:, :, :n]
+                A_hat = aligned_batch_call(
+                    system.jacobian_xu_batch, x_trj[:-1], u_trj)[:, :, :n]
         else:
             A_hat = jnp.zeros((T, n, n), D.dtype)
         AB = jnp.concatenate([A_hat, B_hat], axis=2)
@@ -285,25 +345,16 @@ def estimate_tv_matrices_fnom(
     ``need_A=False`` is honored only where A is separately estimated and
     about to be discarded (zero_order_B via the hook).
     """
-    if mode not in _KNOT_FNS:
+    if mode not in GRADIENT_MODES:
         raise ValueError(
-            f"gradient mode {mode!r} not in {list(_KNOT_FNS)}")
+            f"gradient mode {mode!r} not in {list(GRADIENT_MODES)}")
     if (system.est_sweep_fn is not None and system.projection is None
             and mode in ("zero_order", "zero_order_B", "zero_order_AB")):
         return _estimate_fused(system, mode, x_trj, u_trj, key, it, cfg,
                                need_A)
-    T = u_trj.shape[0]
     n = system.dim_x
-    sx, su = cfg.stds(it, system.dim_x, system.dim_u)
-    keys = jax.random.split(key, T)
-    knot_fn = _KNOT_FNS[mode]
-
-    def per_knot(x, u, k):
-        return knot_fn(system, x, u, k, sx, su, cfg)
-
-    AB = jax.vmap(per_knot)(x_trj[:-1], u_trj, keys)
+    AB, f_nom = _estimate_flat(system, mode, x_trj, u_trj, key, it, cfg)
     A, B = AB[:, :, :n], AB[:, :, n:]
-    f_nom = system.step_batch(x_trj[:-1], u_trj)
     c = f_nom - jnp.einsum("tij,tj->ti", A, x_trj[:-1]) \
         - jnp.einsum("tij,tj->ti", B, u_trj)
     return TvLinearization(A=A, B=B, c=c), None
@@ -340,7 +391,7 @@ def decouple_AB(tv: TvLinearization, indices_u_into_x: Array,
     B = tv.B.at[:, indices_u_into_x, :].set(
         jnp.broadcast_to(jnp.eye(m, dtype=tv.B.dtype), (T, m, m)))
     if f_nom is None:
-        f_nom = system.step_batch(x_trj[:-1], u_trj)
+        f_nom = aligned_batch_call(system.step_batch, x_trj[:-1], u_trj)
     c = f_nom - jnp.einsum("tij,tj->ti", A, x_trj[:-1]) \
         - jnp.einsum("tij,tj->ti", B, u_trj)
     return TvLinearization(A=A, B=B, c=c)

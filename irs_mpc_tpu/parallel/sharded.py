@@ -92,76 +92,91 @@ def sharded_estimate_tv_matrices(
     keys = jax.random.split(key, Tp)            # (Tp, 2) one key per knot
     sx, su = cfg.stds(it, n, m)
 
-    def local_knot(x, u, knot_key):
-        """Runs per knot on each device; sample axis cooperates via psum."""
-        shard_id = jax.lax.axis_index("sample")
-        k = jax.random.fold_in(knot_key, shard_id)
-        kx, ku = jax.random.split(k)
-        dx = sx * jax.random.normal(kx, (S_local, n))
-        du = su * jax.random.normal(ku, (S_local, m))
-
-        if mode == "exact":
-            AB = system.jacobian_xu(x, u)
-            return AB
-
-        if mode == "first_order":
-            if system.projection is not None:
-                xp, up = system.projection(x, dx, u, du)
-            else:
-                xp, up = x[None] + dx, u[None] + du
-            AB_part = jnp.sum(system.jacobian_xu_batch(xp, up), axis=0)
-            AB = jax.lax.psum(AB_part, "sample") / (S_local * n_sample)
-            return AB
-
-        f0 = system.step(x, u)
-        if mode == "zero_order":
-            if system.projection is not None:
-                xp, up = system.projection(x, dx, u, du)
-                dx, du = xp - x[None], up - u[None]
-            else:
-                xp, up = x[None] + dx, u[None] + du
-            fd = system.step_batch(xp, up)
-            S = jnp.concatenate([dx, du], axis=1)
-            G = jax.lax.psum(S.T @ S, "sample")
-            M = jax.lax.psum(S.T @ (fd - f0[None]), "sample")
-            return fit_from_moments(G, M)
-
-        if mode == "zero_order_B":
-            x_rep = jnp.broadcast_to(x, (S_local,) + x.shape)
-            fd = system.step_batch(x_rep, u[None] + du)
-            G = jax.lax.psum(du.T @ du, "sample")
-            M = jax.lax.psum(du.T @ (fd - f0[None]), "sample")
-            B_hat = fit_from_moments(G, M)
-            if cfg.zero_order_B_A_source == "first_order":
-                # MBP reference semantics (mbp_dynamics.py:387-389): A from
-                # Jacobians averaged over the same u-samples.
-                A_part = jnp.sum(
-                    system.jacobian_xu_batch(x_rep, u[None] + du)[:, :, :n],
-                    axis=0)
-                A_hat = jax.lax.psum(A_part, "sample") / (S_local * n_sample)
-            else:
-                A_hat = system.jacobian_xu(x, u)[:, :n]
-            return jnp.concatenate([A_hat, B_hat], axis=1)
-
-        if mode == "zero_order_AB":
-            fd = system.step_batch(x[None] + dx, u[None] + du)
-            S = jnp.concatenate([dx, du], axis=1)
-            G = jax.lax.psum(S.T @ S, "sample")
-            M = jax.lax.psum(S.T @ (fd - f0[None]), "sample")
-            return fit_from_moments(G, M, damp=cfg.damp)
-
+    if mode not in ("exact", "first_order", "zero_order", "zero_order_B",
+                    "zero_order_AB"):
         raise ValueError(f"unknown mode {mode!r}")
+
+    from ..ops.estimators import _flat_call, aligned_batch_call
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P("knot"), P("knot"), P("knot")),
              out_specs=P("knot"))
     def run(x_k, u_k, keys_k):
-        return jax.vmap(lambda x, u, kk: local_knot(x, u, kk))(
-            x_k, u_k, keys_k)
+        """Per-device sweep over the local knot shard.
+
+        The heavy operators (step_batch / jacobian_xu_batch) run over ONE
+        flat sublane-aligned (T_local * S_local) batch — a nested
+        (knot, sample) vmap of a fixed-iteration solver scan is ~20x
+        slower on XLA:TPU regardless of alignment (see ops/estimators.py
+        module note).  Per-knot least-squares moments are then reduced
+        with one psum over the sample axis, exactly as before.
+        """
+        shard_id = jax.lax.axis_index("sample")
+
+        def draw(knot_key):
+            k = jax.random.fold_in(knot_key, shard_id)
+            kx, ku = jax.random.split(k)
+            return (sx * jax.random.normal(kx, (S_local, n)),
+                    su * jax.random.normal(ku, (S_local, m)))
+
+        if mode == "exact":
+            return aligned_batch_call(system.jacobian_xu_batch, x_k, u_k)
+
+        dx, du = jax.vmap(draw)(keys_k)          # (T_loc, S_loc, n/m)
+        if system.projection is not None:
+            xp, up = jax.vmap(system.projection)(x_k, dx, u_k, du)
+        else:
+            xp, up = x_k[:, None] + dx, u_k[:, None] + du
+
+        if mode == "first_order":
+            ABs = _flat_call(system.jacobian_xu_batch, xp, up)
+            AB = jax.lax.psum(jnp.sum(ABs, axis=1), "sample") \
+                / (S_local * n_sample)
+            return AB
+
+        f0 = aligned_batch_call(system.step_batch, x_k, u_k)
+        if mode == "zero_order":
+            if system.projection is not None:
+                dx, du = xp - x_k[:, None], up - u_k[:, None]
+            fd = _flat_call(system.step_batch, xp, up)
+            S = jnp.concatenate([dx, du], axis=2)
+            G = jax.lax.psum(jnp.einsum("tsp,tsq->tpq", S, S), "sample")
+            M = jax.lax.psum(
+                jnp.einsum("tsp,tsn->tpn", S, fd - f0[:, None]), "sample")
+            return jax.vmap(fit_from_moments)(G, M)
+
+        if mode == "zero_order_B":
+            xb = jnp.broadcast_to(x_k[:, None], dx.shape)
+            ub = u_k[:, None] + du
+            fd = _flat_call(system.step_batch, xb, ub)
+            G = jax.lax.psum(jnp.einsum("tsp,tsq->tpq", du, du), "sample")
+            M = jax.lax.psum(
+                jnp.einsum("tsp,tsn->tpn", du, fd - f0[:, None]), "sample")
+            B_hat = jax.vmap(fit_from_moments)(G, M)
+            if cfg.zero_order_B_A_source == "first_order":
+                # MBP reference semantics (mbp_dynamics.py:387-389): A from
+                # Jacobians averaged over the same u-samples.
+                ABj = _flat_call(system.jacobian_xu_batch, xb, ub)
+                A_hat = jax.lax.psum(
+                    jnp.sum(ABj[:, :, :, :n], axis=1), "sample") \
+                    / (S_local * n_sample)
+            else:
+                A_hat = aligned_batch_call(
+                    system.jacobian_xu_batch, x_k, u_k)[:, :, :n]
+            return jnp.concatenate([A_hat, B_hat], axis=2)
+
+        # zero_order_AB
+        fd = _flat_call(system.step_batch, xp, up)
+        S = jnp.concatenate([dx, du], axis=2)
+        G = jax.lax.psum(jnp.einsum("tsp,tsq->tpq", S, S), "sample")
+        M = jax.lax.psum(
+            jnp.einsum("tsp,tsn->tpn", S, fd - f0[:, None]), "sample")
+        return jax.vmap(
+            lambda Gi, Mi: fit_from_moments(Gi, Mi, damp=cfg.damp))(G, M)
 
     AB = run(x_pad, u_pad, keys)[:T]
     A, B = AB[:, :, :n], AB[:, :, n:]
-    f_nom = system.step_batch(x_trj[:-1], u_trj)
+    f_nom = aligned_batch_call(system.step_batch, x_trj[:-1], u_trj)
     c = f_nom - jnp.einsum("tij,tj->ti", A, x_trj[:-1]) \
         - jnp.einsum("tij,tj->ti", B, u_trj)
     return TvLinearization(A=A, B=B, c=c)
