@@ -605,7 +605,22 @@ class IrsMpc:
                 lambda xx, uu: jnp.stack(self.eval_cost(xx, uu)))(
                     xs_all, us_all)
         else:
-            xs_all, us_all, costs_all = jax.vmap(rollout)(alphas)
+            # Pad the lane axis to the 8-row sublane: a vmapped solver scan
+            # with a misaligned batch is ~20x slower on XLA:TPU (see
+            # ops/estimators.py module note).  Extra lanes re-run alpha=0
+            # (the nominal) and are sliced off before the argmin, so the
+            # selection is unchanged.
+            n_alpha = alphas.shape[0]
+            pad = (-n_alpha) % 8
+            if pad:
+                alphas_p = jnp.concatenate([alphas, jnp.zeros(pad)])
+            else:
+                alphas_p = alphas
+            xs_all, us_all, costs_all = jax.vmap(rollout)(alphas_p)
+            if pad:
+                xs_all = xs_all[:n_alpha]
+                us_all = us_all[:n_alpha]
+                costs_all = costs_all[:n_alpha]
         totals = jnp.where(jnp.isnan(costs_all[:, 0]), jnp.inf,
                            costs_all[:, 0])
         best = jnp.argmin(totals)
