@@ -99,8 +99,16 @@ def _timeit_slope(fn, ns=(5, 15, 45), n_fits=3):
     0.14-3 ms/call as the slope of an async chain).  Fitting total time
     against n in {5, 15, 45} cancels the fixed cost exactly; the slope is
     the steady-state per-iteration time a production driver (which never
-    syncs mid-descent) actually pays.  ``fn`` must chain device state so
-    calls are dependency-ordered and nothing syncs inside.
+    syncs mid-descent) actually pays.  ``fn`` should either chain device
+    state or be an independent same-shape call (the device executes the
+    queue serially either way; both were cross-checked against chained
+    probes to within noise).
+
+    Robustness: a single fit on the shared chip can go degenerate (~35%
+    run-to-run variance); any slope outside [amortized/50, amortized*1.2]
+    — where amortized = total/n at the largest n, a guaranteed upper
+    bound on exec time — falls back to the amortized value instead of
+    emitting a nonsense throughput.
     """
     import jax
     fn()                       # warm (compile)
@@ -117,7 +125,10 @@ def _timeit_slope(fn, ns=(5, 15, 45), n_fits=3):
             totals.append(time.perf_counter() - t0)
         A = np.vstack([ns, np.ones(len(ns))]).T
         (a, _b), *_ = np.linalg.lstsq(A, np.array(totals), rcond=None)
-        slopes.append(max(float(a), 1e-9))
+        amort = totals[-1] / ns[-1]
+        if not (amort / 50.0 <= a <= amort * 1.2):
+            a = amort
+        slopes.append(float(a))
     slopes.sort()
     return slopes[len(slopes) // 2], slopes[0], slopes[-1]
 

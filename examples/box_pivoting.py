@@ -91,10 +91,13 @@ def build_cem_solver(T=40, batch_size=100, n_elite=5):
         indices_u_into_x=idx_u,
         report_final_cost_with_Q=False)
     # Warm vmapped chains for the population (see planar_hand_cem.py),
-    # WITHOUT the canonical dual carry the iRS factory opts into: canon
-    # resets the grasp friction memory each knot and the CEM search on
-    # this task measurably loses its basin with it (134.3 -> 260.7).
-    import dataclasses
+    # WITHOUT the canonical dual carry the iRS factory opts into.  Canon
+    # measured worse for this CEM search when A/B-tested within one
+    # program version (134.3 -> 260.7 in the version that measured it);
+    # note the canon-OFF final is itself basin-chaotic across program
+    # versions (134.3 r3-era, 260-273 under r5 builds — PARITY.md), so
+    # treat the opt-out as the better side of a measured pair, not as a
+    # recipe that reproduces 134.
     cem_model = dataclasses.replace(model, canon_warm_duals=False)
     return CrossEntropyMethod(cem_model.system(), params), model
 

@@ -239,7 +239,11 @@ def _estimate_flat(system: System, mode: str, x_trj, u_trj, key, it,
     keys = jax.random.split(key, T)
     dx, du = jax.vmap(
         lambda k: _sample_perturbations(k, sx, su, cfg.num_samples))(keys)
-    if system.projection is not None:
+    # Projection applies only where the reference estimators use it
+    # (first_order and the generic zero_order); zero_order_B samples share
+    # the nominal state and zero_order_AB fits raw perturbations.
+    if system.projection is not None and mode in ("first_order",
+                                                  "zero_order"):
         xp, up = jax.vmap(system.projection)(x_nom, dx, u_trj, du)
     else:
         xp, up = x_nom[:, None] + dx, u_trj[:, None] + du

@@ -123,7 +123,11 @@ def sharded_estimate_tv_matrices(
             return aligned_batch_call(system.jacobian_xu_batch, x_k, u_k)
 
         dx, du = jax.vmap(draw)(keys_k)          # (T_loc, S_loc, n/m)
-        if system.projection is not None:
+        # Projection applies only where the reference estimators use it
+        # (first_order / zero_order); zero_order_B and zero_order_AB fit
+        # raw perturbations (mirrors ops/estimators._estimate_flat).
+        if system.projection is not None and mode in ("first_order",
+                                                      "zero_order"):
             xp, up = jax.vmap(system.projection)(x_k, dx, u_k, du)
         else:
             xp, up = x_k[:, None] + dx, u_k[:, None] + du

@@ -204,8 +204,20 @@ class CrossEntropyMethod:
         # kernel lanes score candidates while the accepted mean rolls the
         # warm XLA chain, and the mismatch corrupts elite selection.  CEM
         # therefore keeps the warm vmapped chains.
+        #
+        # The scoring batch is padded to the 8-row sublane (repeated last
+        # candidate, scores sliced off) — a misaligned vmapped solver
+        # scan is ~20x slower on XLA:TPU (ops/estimators.py module note);
+        # small populations like box_pushing_cem's 100 hit this.  TPU-only
+        # (the pathology is an XLA:TPU layout artifact; on CPU the extra
+        # rollouts would be pure waste).
+        B_cand = cand.shape[0]
+        pad = (-B_cand) % 8 if jax.default_backend() == "tpu" else 0
+        cand_p = (jnp.concatenate(
+            [cand, jnp.broadcast_to(cand[-1:], (pad,) + cand.shape[1:])],
+            axis=0) if pad else cand)
         with jax.default_matmul_precision("highest"):
-            costs = jax.vmap(eval_one)(cand)
+            costs = jax.vmap(eval_one)(cand_p)[:B_cand]
         # Diverged rollouts (NaN/inf cost) must never become elites.
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         # lowest-cost elites

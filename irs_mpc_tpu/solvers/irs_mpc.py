@@ -609,9 +609,12 @@ class IrsMpc:
             # with a misaligned batch is ~20x slower on XLA:TPU (see
             # ops/estimators.py module note).  Extra lanes re-run alpha=0
             # (the nominal) and are sliced off before the argmin, so the
-            # selection is unchanged.
+            # selection is unchanged.  TPU-only: the pathology is an
+            # XLA:TPU layout artifact, and on CPU the extra lanes would be
+            # pure added rollout work (the latency wall).
             n_alpha = alphas.shape[0]
-            pad = (-n_alpha) % 8
+            pad = ((-n_alpha) % 8
+                   if jax.default_backend() == "tpu" else 0)
             if pad:
                 alphas_p = jnp.concatenate([alphas, jnp.zeros(pad)])
             else:
